@@ -1,0 +1,558 @@
+"""AIndex facade — the user-facing API, mirroring the reference surface.
+
+Reference: aindex/core/aindex.py:48-794 (AIndex class over the pybind11
+AindexWrapper). Here the engine is pure JAX + numpy; both index modes can be
+loaded side by side, queries dispatch on k-mer length exactly like the
+reference wrapper (/root/reference/src/python_wrapper.cpp:644-664,825-831).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from enum import IntEnum
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from aindex_tpu.constants import K13, K23, SPACE_13
+from aindex_tpu.core import codec
+from aindex_tpu.core.reads import ReadsStore
+from aindex_tpu.index.dense13 import Dense13Index
+from aindex_tpu.index.positional import PositionalIndex
+from aindex_tpu.index.sparse23 import Sparse23Index
+
+logger = logging.getLogger(__name__)
+
+
+class Strand(IntEnum):
+    NOT_FOUND = 0
+    FORWARD = 1
+    REVERSE = 2
+
+
+class AIndex:
+    """K-mer index facade. Use the ``load_from_prefix`` / ``build_*``
+    constructors; query via the dict protocol or the batched methods."""
+
+    def __init__(self):
+        self.dense13: Dense13Index | None = None
+        self.sparse23: Sparse23Index | None = None
+        self.pos13: PositionalIndex | None = None
+        self.pos23: PositionalIndex | None = None
+        self.reads: ReadsStore | None = None
+        self.max_tf = 0
+        self._loaded = False
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def load_from_prefix(prefix: str, kmer_size: Optional[int] = None,
+                         max_tf: int = 100000, load_aindex: bool = True,
+                         load_reads: bool = False) -> "AIndex":
+        """Auto-detecting loader (aindex/core/aindex.py:420-499).
+
+        13-mer mode = <prefix>.tf.bin of exactly 4^13 uint64 entries;
+        23-mer mode = <prefix>.pf + .tf.bin + .kmers.bin.
+        """
+        idx = AIndex()
+        tf_file = f"{prefix}.tf.bin"
+        pf_file = f"{prefix}.pf"
+        kmers_bin = f"{prefix}.kmers.bin"
+        if kmer_size is None:
+            if os.path.exists(tf_file) and os.path.getsize(tf_file) == SPACE_13 * 8 \
+                    and not os.path.exists(pf_file):
+                kmer_size = 13
+            elif all(os.path.exists(p) for p in (pf_file, tf_file, kmers_bin)):
+                kmer_size = 23
+            elif os.path.exists(tf_file) and os.path.getsize(tf_file) == SPACE_13 * 8:
+                kmer_size = 13
+            else:
+                raise FileNotFoundError(
+                    f"Could not auto-detect k-mer size for prefix '{prefix}'. "
+                    f"Expected {tf_file} (13-mer, 512MB dense) or "
+                    f"{pf_file}+{tf_file}+{kmers_bin} (23-mer).")
+
+        if kmer_size == 13:
+            idx.load_13mer_index(tf_file)
+        elif kmer_size == 23:
+            idx.load_23mer_index(prefix)
+            idx.max_tf = max_tf
+        else:
+            raise ValueError(f"Unsupported kmer size: {kmer_size}")
+
+        if load_aindex:
+            index_file = f"{prefix}.index.bin"
+            indices_file = f"{prefix}.indices.bin"
+            if os.path.exists(index_file) and os.path.exists(indices_file):
+                pos = PositionalIndex.load(index_file, indices_file)
+                if kmer_size == 13:
+                    idx.pos13 = pos
+                else:
+                    idx.pos23 = pos
+            else:
+                logger.warning("positional index files not found for %s", prefix)
+
+        if load_reads:
+            reads_file = f"{prefix}.reads"
+            if not os.path.exists(reads_file):
+                reads_file = reads_file.replace(".23.", ".").replace(".13.", ".")
+            if os.path.exists(reads_file):
+                ridx = os.path.splitext(reads_file)[0] + ".ridx"
+                idx.load_reads(reads_file, ridx if os.path.exists(ridx) else None)
+            else:
+                logger.warning("reads file not found for %s", prefix)
+        return idx
+
+    def load_13mer_index(self, tf_file: str) -> None:
+        if not os.path.exists(tf_file):
+            raise FileNotFoundError(f"13-mer tf file not found: {tf_file}")
+        self.dense13 = Dense13Index.load(tf_file)
+        self._loaded = True
+
+    def load_23mer_index(self, prefix: str) -> None:
+        self.sparse23 = Sparse23Index.load(prefix)
+        self._loaded = True
+
+    def load_13mer_aindex(self, index_file: str, indices_file: str) -> None:
+        for name, p in (("index", index_file), ("indices", indices_file)):
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"13-mer {name} file not found: {p}")
+        self.pos13 = PositionalIndex.load(index_file, indices_file)
+
+    def load_aindex(self, index_file: str, indices_file: str, max_tf: int = 100000) -> None:
+        for name, p in (("index", index_file), ("indices", indices_file)):
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"{name} file not found: {p}")
+        self.pos23 = PositionalIndex.load(index_file, indices_file)
+        self.max_tf = max_tf
+
+    def load_reads(self, reads_file: str, ridx_file: str | None = None,
+                   header_file: str | None = None) -> None:
+        if not os.path.exists(reads_file):
+            raise FileNotFoundError(f"Reads file not found: {reads_file}")
+        if ridx_file is None:
+            cand = os.path.splitext(reads_file)[0] + ".ridx"
+            ridx_file = cand if os.path.exists(cand) else None
+        self.reads = ReadsStore.from_reads_file(reads_file, ridx_file, header_file)
+
+    # ------------------------------------------------------------------
+    # build (no subprocess pipeline needed for the in-process path)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def build_from_sequences(sequences: List[str], kmer_size: int = 23,
+                             build_aindex: bool = True) -> "AIndex":
+        idx = AIndex()
+        store = ReadsStore.from_sequences(sequences)
+        idx.reads = store
+        if kmer_size == 13:
+            idx.dense13 = Dense13Index.build_from_blob(store.blob)
+            if build_aindex:
+                idx.pos13 = PositionalIndex.build_dense13(store.blob)
+        else:
+            idx.sparse23 = Sparse23Index.build_from_blob(store.blob, k=kmer_size)
+            if build_aindex:
+                idx.pos23 = PositionalIndex.build_sparse23(store.blob, idx.sparse23)
+        idx._loaded = True
+        return idx
+
+    # ------------------------------------------------------------------
+    # dispatch helpers
+    # ------------------------------------------------------------------
+
+    def _mode_for(self, kmer: str):
+        if len(kmer) == K13 and self.dense13 is not None:
+            return self.dense13
+        if self.sparse23 is not None and len(kmer) == self.sparse23.k:
+            return self.sparse23
+        return None
+
+    @property
+    def aindex_loaded(self) -> bool:
+        return self.pos13 is not None or self.pos23 is not None
+
+    @property
+    def n_reads(self) -> int:
+        return self.reads.n_reads if self.reads else 0
+
+    @property
+    def n_kmers(self) -> int:
+        if self.sparse23 is not None:
+            return self.sparse23.n
+        if self.dense13 is not None:
+            return SPACE_13
+        return 0
+
+    @property
+    def reads_size(self) -> int:
+        return self.reads.reads_size if self.reads else 0
+
+    # ------------------------------------------------------------------
+    # tf queries
+    # ------------------------------------------------------------------
+
+    def get_tf_value(self, kmer: str) -> int:
+        if not self._loaded:
+            return 0
+        mode = self._mode_for(kmer)
+        if mode is None:
+            return 0
+        return int(mode.get_tf_values([kmer])[0])
+
+    def get_tf_values(self, kmers: List[str]) -> List[int]:
+        if not self._loaded or not kmers:
+            return [0] * len(kmers)
+        mode = self._mode_for(kmers[0])
+        if mode is None:
+            return [0] * len(kmers)
+        return [int(v) for v in mode.get_tf_values(kmers)]
+
+    def get_tf_values_13mer(self, kmers: List[str]) -> List[int]:
+        self._require(self.dense13, "13-mer index")
+        return [int(v) for v in self.dense13.get_tf_values(kmers)]
+
+    def get_total_tf_value_13mer(self, kmer: str) -> int:
+        self._require(self.dense13, "13-mer index")
+        return int(self.dense13.get_total_tf_values([kmer])[0])
+
+    def get_total_tf_values_13mer(self, kmers: List[str]) -> List[int]:
+        self._require(self.dense13, "13-mer index")
+        return [int(v) for v in self.dense13.get_total_tf_values(kmers)]
+
+    def get_tf_both_directions_13mer(self, kmer: str) -> Tuple[int, int]:
+        self._require(self.dense13, "13-mer index")
+        fwd, rc = self.dense13.get_tf_both_directions([kmer])
+        return int(fwd[0]), int(rc[0])
+
+    def get_tf_both_directions_13mer_batch(self, kmers: List[str]) -> List[Tuple[int, int]]:
+        self._require(self.dense13, "13-mer index")
+        fwd, rc = self.dense13.get_tf_both_directions(kmers)
+        return list(zip(fwd.tolist(), rc.tolist()))
+
+    def get_tf_both_directions_23mer(self, kmer: str) -> Tuple[int, int]:
+        self._require(self.sparse23, "23-mer index")
+        fwd, rc = self.sparse23.get_tf_both_directions([kmer])
+        return int(fwd[0]), int(rc[0])
+
+    def get_tf_both_directions_23mer_batch(self, kmers: List[str]) -> List[Tuple[int, int]]:
+        self._require(self.sparse23, "23-mer index")
+        fwd, rc = self.sparse23.get_tf_both_directions(kmers)
+        return list(zip(fwd.tolist(), rc.tolist()))
+
+    # dict protocol (aindex/core/aindex.py:249-264)
+
+    def __len__(self) -> int:
+        return self.get_hash_size()
+
+    def __getitem__(self, kmer: str) -> int:
+        return self.get_tf_value(kmer)
+
+    def __contains__(self, kmer: str) -> bool:
+        return self[kmer] > 0
+
+    def get(self, kmer: str, default: int = 0) -> int:
+        tf = self[kmer]
+        return tf if tf > 0 else default
+
+    # ------------------------------------------------------------------
+    # identity / strand
+    # ------------------------------------------------------------------
+
+    def get_hash_value(self, kmer: str) -> int:
+        self._require(self.sparse23, "23-mer index")
+        return int(self.sparse23.get_hash_values([kmer])[0])
+
+    def get_hash_values(self, kmers: List[str]) -> List[int]:
+        self._require(self.sparse23, "23-mer index")
+        return [int(v) for v in self.sparse23.get_hash_values(kmers)]
+
+    def get_hash_size(self) -> int:
+        if not self._loaded:
+            raise RuntimeError("Index not loaded")
+        return self.n_kmers
+
+    def get_kid_by_kmer(self, kmer: str) -> int:
+        """Verified slot of kmer or its revcomp; 0 when absent
+        (/root/reference/src/python_wrapper.cpp:700-716)."""
+        self._require(self.sparse23, "23-mer index")
+        pfid = int(self.sparse23.get_pfids([kmer])[0])
+        return 0 if pfid >= self.sparse23.n else pfid
+
+    def get_kmer_by_kid(self, kid: int) -> str:
+        self._require(self.sparse23, "23-mer index")
+        return self.sparse23.get_kmer_by_kid(kid)
+
+    def get_strand(self, kmer: str) -> Strand:
+        self._require(self.sparse23, "23-mer index")
+        return Strand(int(self.sparse23.get_strands([kmer])[0]))
+
+    def get_kmer_info(self, kid: int) -> Tuple[str, str, int]:
+        """(kmer, rkmer, tf) — aindex/core/aindex.py:196-208."""
+        self._require(self.sparse23, "23-mer index")
+        tf, kmer, rkmer = self.sparse23.get_kmer_info(kid)
+        return kmer, rkmer, tf
+
+    def get_kmer_info_by_kid(self, kid: int, k: int = 23):
+        return self.get_kmer_info(kid)
+
+    # ------------------------------------------------------------------
+    # positions / reads resolution
+    # ------------------------------------------------------------------
+
+    def _positional_for(self, kmer: str) -> tuple[PositionalIndex, int] | None:
+        """(positional index, slot) for a query k-mer, or None."""
+        if len(kmer) == K13 and self.pos13 is not None:
+            try:
+                code = codec.encode_kmer(kmer)
+            except ValueError:
+                return None
+            return self.pos13, code
+        if self.pos23 is not None and self.sparse23 is not None \
+                and len(kmer) == self.sparse23.k:
+            pfid = int(self.sparse23.get_pfids([kmer])[0])
+            if pfid >= self.sparse23.n:
+                return None
+            return self.pos23, pfid
+        return None
+
+    def get_positions(self, kmer: str) -> List[int]:
+        if len(kmer) not in (K13, K23):
+            raise ValueError(
+                f"Unsupported k-mer length: {len(kmer)}. Only 13-mers and "
+                f"23-mers are supported.")
+        hit = self._positional_for(kmer)
+        if hit is None:
+            return []
+        pos_index, slot = hit
+        return [int(p) for p in pos_index.positions_by_slot(slot)]
+
+    def get_positions_13mer(self, kmer: str) -> List[int]:
+        if self.pos13 is None:
+            return []
+        try:
+            code = codec.encode_kmer(kmer)
+        except ValueError:
+            return []
+        return [int(p) for p in self.pos13.positions_by_slot(code)]
+
+    def pos(self, kmer: str) -> List[int]:
+        return self.get_positions(kmer)
+
+    def get_rid(self, pos: int) -> int:
+        self._require(self.reads, "reads")
+        return int(self.reads.rid_by_pos(pos))
+
+    def get_start(self, pos: int) -> int:
+        self._require(self.reads, "reads")
+        return self.reads.start_by_pos(pos)
+
+    def get_rid2poses(self, kmer: str) -> Dict[int, List[int]]:
+        """kmer -> {rid: [in-read offsets]} (aindex/core/aindex.py:333-341)."""
+        poses = self.pos(kmer)
+        hits: Dict[int, List[int]] = defaultdict(list)
+        for p in poses:
+            rid = self.get_rid(p)
+            start = int(self.reads.starts[rid])
+            hits[rid].append(p - start)
+        return dict(hits)
+
+    def get_read_by_rid(self, rid: int) -> str:
+        self._require(self.reads, "reads")
+        return self.reads.get_read_by_rid(rid)
+
+    def get_read(self, start: int, end: int, revcomp: bool = False) -> str:
+        self._require(self.reads, "reads")
+        return self.reads.get_read(start, end, revcomp)
+
+    def get_reads_by_kmer(self, kmer: str, max_reads: int = 100) -> List[str]:
+        """Single-end subreads containing the k-mer
+        (get_reads_se_by_kmer, /root/reference/src/python_wrapper.cpp:857-911)."""
+        self._require(self.reads, "reads")
+        out, seen = [], set()
+        for rid in self.get_rid2poses(kmer):
+            if rid in seen or len(out) >= max_reads:
+                continue
+            seen.add(rid)
+            read = self.get_read_by_rid(rid)
+            for subread in read.split("~"):
+                if kmer in subread or codec.revcomp(kmer) in subread:
+                    out.append(subread)
+                    if len(out) >= max_reads:
+                        break
+        return out
+
+    get_reads_se_by_kmer = get_reads_by_kmer
+
+    def iter_reads(self) -> Iterator[Tuple[int, str]]:
+        self._require(self.reads, "reads")
+        return self.reads.iter_reads()
+
+    def iter_reads_se(self) -> Iterator[Tuple[int, int, str]]:
+        self._require(self.reads, "reads")
+        return self.reads.iter_reads_se()
+
+    def get_header(self, pos: int) -> Optional[str]:
+        if self.reads is None or self.reads.headers is None:
+            return None
+        rid = int(self.reads.rid_by_pos(pos))
+        return self.reads.headers[rid] if rid < len(self.reads.headers) else ""
+
+    def get_reads_size(self) -> int:
+        return self.reads_size
+
+    # ------------------------------------------------------------------
+    # sequence analytics
+    # ------------------------------------------------------------------
+
+    def iter_sequence_kmers(self, sequence: str, k: int = 23
+                            ) -> Iterator[Tuple[str, int]]:
+        for i in range(len(sequence) - k + 1):
+            kmer = sequence[i:i + k]
+            if "\n" in kmer or "~" in kmer:
+                continue
+            yield kmer, self[kmer]
+
+    def get_sequence_coverage(self, seq: str, cutoff: int = 0, k: int = 23) -> List[int]:
+        if k == K13 and self.dense13 is not None:
+            return [int(v) for v in self.dense13.sequence_coverage(seq, cutoff)]
+        if self.sparse23 is not None and k == self.sparse23.k:
+            return [int(v) for v in self.sparse23.sequence_coverage(seq, cutoff)]
+        return [0] * max(0, len(seq) - k + 1)
+
+    def print_sequence_coverage(self, seq: str, cutoff: int = 0) -> List[int]:
+        coverage = self.get_sequence_coverage(seq, cutoff)
+        for i, tf in enumerate(coverage):
+            print(f"{i}\t{seq[i:i + 23]}\t{tf}")
+        return coverage
+
+    # ------------------------------------------------------------------
+    # frequency iteration / stats
+    # ------------------------------------------------------------------
+
+    def _index_to_13mer(self, index: int) -> str:
+        return codec.decode_kmer(index, K13)
+
+    def iter_kmers_by_frequency(self, min_tf: int = 1,
+                                max_kmers: Optional[int] = None,
+                                kmer_type: str = "auto"
+                                ) -> Iterator[Tuple[str, int]]:
+        """K-mers sorted by decreasing tf (aindex/core/aindex.py:594-681),
+        vectorised with argsort instead of the reference's Python loop."""
+        if not self._loaded:
+            raise RuntimeError("Index not loaded")
+        if kmer_type == "auto":
+            kmer_type = "13mer" if self.dense13 is not None else "23mer"
+        if kmer_type == "13mer":
+            self._require(self.dense13, "13-mer index")
+            tf = self.dense13.tf_host
+            idx = np.flatnonzero(tf >= min_tf)
+            order = np.argsort(tf[idx], kind="stable")[::-1]
+            idx = idx[order]
+            if max_kmers is not None:
+                idx = idx[:max_kmers]
+            for code, count in zip(idx, tf[idx]):
+                yield codec.decode_kmer(int(code), K13), int(count)
+        elif kmer_type == "23mer":
+            self._require(self.sparse23, "23-mer index")
+            tf = self.sparse23.tf_host
+            idx = np.flatnonzero(tf >= min_tf)
+            order = np.argsort(tf[idx], kind="stable")[::-1]
+            idx = idx[order]
+            if max_kmers is not None:
+                idx = idx[:max_kmers]
+            codes = self.sparse23.checker_host[idx]
+            kmers = codec.decode_kmers(codes, self.sparse23.k) if len(idx) else []
+            for kmer, count in zip(kmers, tf[idx]):
+                yield kmer, int(count)
+        else:
+            raise ValueError(f"Unsupported kmer_type: {kmer_type}")
+
+    def get_top_kmers(self, n: int = 100, min_tf: int = 1,
+                      kmer_type: str = "auto") -> List[Tuple[str, int]]:
+        return list(self.iter_kmers_by_frequency(min_tf=min_tf, max_kmers=n,
+                                                 kmer_type=kmer_type))
+
+    def get_kmer_frequency_stats(self, kmer_type: str = "auto") -> Dict[str, Any]:
+        if not self._loaded:
+            raise RuntimeError("Index not loaded")
+        if kmer_type == "auto":
+            kmer_type = "13mer" if self.dense13 is not None else "23mer"
+        if kmer_type == "13mer":
+            self._require(self.dense13, "13-mer index")
+            tf = self.dense13.tf_host
+        else:
+            self._require(self.sparse23, "23-mer index")
+            tf = self.sparse23.tf_host
+        nz = tf[tf > 0]
+        return {
+            "kmer_type": kmer_type,
+            "total_kmers": int(tf.size),
+            "non_zero_kmers": int(nz.size),
+            "zero_kmers": int(tf.size - nz.size),
+            "max_tf": int(nz.max()) if nz.size else 0,
+            "min_tf": int(nz.min()) if nz.size else 0,
+            "avg_tf": float(nz.mean()) if nz.size else 0.0,
+            "total_tf": int(tf.sum(dtype=np.uint64)),
+            "coverage": float(nz.size / tf.size) if tf.size else 0.0,
+        }
+
+    def get_13mer_statistics(self) -> Dict[str, int]:
+        self._require(self.dense13, "13-mer index")
+        return self.dense13.stats()
+
+    def get_23mer_statistics(self) -> Dict[str, int]:
+        self._require(self.sparse23, "23-mer index")
+        return self.sparse23.stats()
+
+    def get_13mer_tf_array(self) -> np.ndarray:
+        self._require(self.dense13, "13-mer index")
+        return self.dense13.get_tf_array()
+
+    def get_tf_by_index_13mer(self, index: int) -> int:
+        self._require(self.dense13, "13-mer index")
+        return self.dense13.get_tf_by_index(index)
+
+    def get_index_info(self) -> str:
+        parts = []
+        if self.dense13 is not None:
+            s = self.dense13.stats()
+            parts.append(
+                f"13-mer dense index: {s['non_zero_kmers']}/{s['total_kmers']} "
+                f"non-zero, max tf {s['max_frequency']}, total {s['total_count']}")
+        if self.sparse23 is not None:
+            s = self.sparse23.stats()
+            parts.append(
+                f"{self.sparse23.k}-mer sparse index: {s['total_kmers']} kmers, "
+                f"max tf {s['max_frequency']}, total {s['total_count']}")
+        if self.reads is not None:
+            parts.append(f"reads: {self.n_reads} ({self.reads_size} bytes)")
+        if self.aindex_loaded:
+            parts.append("positional index: loaded")
+        return "\n".join(parts) if parts else "no index loaded"
+
+    # ------------------------------------------------------------------
+    # De Bruijn continuation
+    # ------------------------------------------------------------------
+
+    def debruijn_next(self, kmer: str, cutoff: int = 0) -> Dict[str, int]:
+        """tf of the 4 right extensions, keyed by base
+        (/root/reference/src/debrujin.cpp:30-75)."""
+        self._require(self.sparse23, "23-mer index")
+        row = self.sparse23.debruijn_next([kmer], cutoff)[0]
+        return dict(zip("ACGT", (int(v) for v in row)))
+
+    def debruijn_prev(self, kmer: str, cutoff: int = 0) -> Dict[str, int]:
+        self._require(self.sparse23, "23-mer index")
+        row = self.sparse23.debruijn_prev([kmer], cutoff)[0]
+        return dict(zip("ACGT", (int(v) for v in row)))
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _require(obj, what: str):
+        if obj is None:
+            raise RuntimeError(f"{what} not loaded")

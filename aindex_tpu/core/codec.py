@@ -1,0 +1,150 @@
+"""Host-side (numpy) 2-bit DNA codecs.
+
+Vectorised equivalents of the reference string<->bit converters
+(/root/reference/src/kmers.cpp:12-114 string<->uint conversions,
+:288-352 string revcomp, :355-388 bit revcomp). All functions operate on
+whole batches at once; scalar wrappers are provided for API parity.
+
+Encoding: A=00, C=01, G=10, T=11 (/root/reference/src/kmers.hpp:15-20).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aindex_tpu.constants import ALPHABET, INVALID_CODE
+
+# ---------------------------------------------------------------------------
+# Base-level LUTs
+# ---------------------------------------------------------------------------
+
+#: 256-entry ASCII -> 2-bit code table; non-ACGT (incl. lowercase handled
+#: separately) map to INVALID_CODE.
+BASE_LUT = np.full(256, INVALID_CODE, dtype=np.uint8)
+for _i, _b in enumerate(ALPHABET):
+    BASE_LUT[ord(_b)] = _i
+    BASE_LUT[ord(_b.lower())] = _i
+
+#: ASCII -> uppercased ASCII for ACGT, preserved otherwise.
+UPPER_LUT = np.arange(256, dtype=np.uint8)
+for _b in ALPHABET:
+    UPPER_LUT[ord(_b.lower())] = ord(_b)
+
+#: string revcomp translation (preserves '~' pair separator semantics,
+#: /root/reference/src/kmers.cpp:302-303 and aindex/core/aindex.py:34-42).
+_REVCOMP_TRANS = str.maketrans("ATCGNatcgn~[]", "TAGCNtagcn~][")
+
+_POWERS64 = (4 ** np.arange(32, dtype=np.uint64))[::-1].copy()
+
+
+def revcomp(sequence: str) -> str:
+    """Reverse-complement of a DNA string (N preserved, '~' preserved,
+    brackets mirrored)."""
+    return sequence.translate(_REVCOMP_TRANS)[::-1]
+
+
+def hamming_distance(s1: str, s2: str) -> int:
+    """Hamming distance ignoring positions where either string has 'N'."""
+    return sum(a != b for a, b in zip(s1, s2) if a != "N" and b != "N")
+
+
+# ---------------------------------------------------------------------------
+# Sequence bytes -> base codes
+# ---------------------------------------------------------------------------
+
+def seq_to_bytes(seq: str | bytes) -> np.ndarray:
+    """ASCII bytes of a sequence as a uint8 array (no copy for bytes)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    return np.frombuffer(seq, dtype=np.uint8)
+
+
+def bytes_to_base_codes(ascii_bytes: np.ndarray) -> np.ndarray:
+    """Map ASCII bytes to 2-bit base codes (INVALID_CODE for non-ACGT)."""
+    return BASE_LUT[ascii_bytes]
+
+
+# ---------------------------------------------------------------------------
+# K-mer strings <-> uint64 codes (batched)
+# ---------------------------------------------------------------------------
+
+def encode_kmers(kmers: list[str] | np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a batch of equal-length k-mer strings to uint64 codes.
+
+    Returns ``(codes, valid)`` where ``valid[i]`` is False if kmer i contains
+    a non-ACGT character (its code is then unspecified but in-range).
+
+    Vectorised version of get_dna23_bitset / get_dna13_bitset
+    (/root/reference/src/kmers.cpp:12-55).
+    """
+    if isinstance(kmers, np.ndarray) and kmers.dtype == np.uint8:
+        mat = kmers.reshape(-1, k)
+    else:
+        joined = "".join(kmers)
+        mat = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(-1, k)
+    base = BASE_LUT[mat]
+    valid = ~np.any(base == INVALID_CODE, axis=1)
+    codes = (base.astype(np.uint64) & np.uint64(3)) @ _POWERS64[32 - k:]
+    return codes, valid
+
+
+def encode_kmer(kmer: str) -> int:
+    """Single k-mer string -> integer code. Raises on invalid bases."""
+    codes, valid = encode_kmers([kmer], len(kmer))
+    if not valid[0]:
+        raise ValueError(f"k-mer contains non-ACGT characters: {kmer!r}")
+    return int(codes[0])
+
+
+def decode_kmers(codes: np.ndarray, k: int) -> list[str]:
+    """Decode uint64 codes back to k-mer strings (batch).
+
+    Vectorised version of get_bitset_dna23 (/root/reference/src/kmers.cpp:89-114).
+    """
+    codes = np.asarray(codes, dtype=np.uint64).reshape(-1, 1)
+    shifts = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+    bases = ((codes >> shifts) & np.uint64(3)).astype(np.uint8)
+    ascii_mat = np.frombuffer(ALPHABET.encode(), dtype=np.uint8)[bases]
+    flat = ascii_mat.tobytes().decode("ascii")
+    return [flat[i * k:(i + 1) * k] for i in range(len(codes))]
+
+
+def decode_kmer(code: int, k: int) -> str:
+    return decode_kmers(np.array([code], dtype=np.uint64), k)[0]
+
+
+# ---------------------------------------------------------------------------
+# Bit-level reverse complement (batched, branch-free)
+# ---------------------------------------------------------------------------
+
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_M8 = np.uint64(0x00FF00FF00FF00FF)
+_M16 = np.uint64(0x0000FFFF0000FFFF)
+
+
+def revcomp_code(codes: np.ndarray | int, k: int) -> np.ndarray | int:
+    """Reverse complement of 2-bit packed k-mer codes (vectorised).
+
+    Equivalent to reverseDNA (/root/reference/src/kmers.cpp:355-388) but
+    branch-free: complement is a bitwise NOT of every 2-bit field (A<->T,
+    C<->G are complements under XOR 0b11), then the 2-bit fields of the
+    64-bit word are mirrored and shifted down to the low 2k bits.
+    """
+    scalar = np.isscalar(codes) or (isinstance(codes, np.ndarray) and codes.ndim == 0)
+    x = np.asarray(codes, dtype=np.uint64)
+    x = ~x  # complement every 2-bit field
+    x = ((x >> np.uint64(2)) & _M2) | ((x & _M2) << np.uint64(2))
+    x = ((x >> np.uint64(4)) & _M4) | ((x & _M4) << np.uint64(4))
+    x = ((x >> np.uint64(8)) & _M8) | ((x & _M8) << np.uint64(8))
+    x = ((x >> np.uint64(16)) & _M16) | ((x & _M16) << np.uint64(16))
+    x = (x >> np.uint64(32)) | (x << np.uint64(32))
+    x = x >> np.uint64(64 - 2 * k)
+    return int(x) if scalar else x
+
+
+def canonical_code(codes: np.ndarray, k: int) -> np.ndarray:
+    """min(code, revcomp(code)) — canonical form used by the sparse index
+    (/root/reference/src/count_kmers.cpp:132-136)."""
+    rc = revcomp_code(codes, k)
+    return np.minimum(codes, rc)

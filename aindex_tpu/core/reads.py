@@ -1,0 +1,142 @@
+"""Reads storage: the concatenated reads blob plus offset indexes.
+
+Mirrors the on-disk reads model of the reference: a ``.reads`` file with one
+sequence per line (paired-end reads joined as ``r1 ~ revcomp(r2)``,
+/root/reference/src/compute_reads.cpp:89-98) and a tab-separated ``.ridx``
+(rid, start, end). Unlike the reference's linear interval scan for
+position->read resolution (/root/reference/src/python_wrapper.cpp:65-73),
+rid lookup here is a binary search over the sorted start offsets
+(SURVEY.md section 7.5).
+
+The blob itself is the unit of TPU streaming: k-mer positions are *global
+byte offsets* into this blob, exactly as in the reference, so window
+extraction can run on fixed-size overlapping chunks of the blob with no
+read-boundary bookkeeping (separators invalidate windows by themselves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from aindex_tpu.core.codec import revcomp
+
+
+@dataclasses.dataclass
+class ReadsStore:
+    blob: np.ndarray                 # uint8, full .reads file contents (with newlines)
+    starts: np.ndarray               # int64[n_reads], byte offset of each read
+    ends: np.ndarray                 # int64[n_reads], end offset (exclusive)
+    headers: list[str] | None = None
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.starts)
+
+    @property
+    def reads_size(self) -> int:
+        return int(self.blob.size)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_reads_file(cls, reads_path: str, ridx_path: str | None = None,
+                        header_path: str | None = None) -> "ReadsStore":
+        blob = np.fromfile(reads_path, dtype=np.uint8)
+        if ridx_path:
+            rows = np.loadtxt(ridx_path, dtype=np.int64, ndmin=2)
+            starts, ends = rows[:, 1].copy(), rows[:, 2].copy()
+        else:
+            starts, ends = cls._scan_newlines(blob)
+        headers = None
+        if header_path:
+            headers = []
+            with open(header_path) as fh:
+                for line in fh:
+                    headers.append(line.rstrip("\n").split("\t")[0])
+        return cls(blob, starts, ends, headers)
+
+    @classmethod
+    def from_sequences(cls, sequences: list[str]) -> "ReadsStore":
+        text = "".join(s + "\n" for s in sequences)
+        blob = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+        starts, ends = cls._scan_newlines(blob)
+        return cls(blob.copy(), starts, ends)
+
+    @staticmethod
+    def _scan_newlines(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        nl = np.flatnonzero(blob == ord("\n"))
+        ends = nl.astype(np.int64)
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        # trailing data without newline
+        if blob.size and blob[-1] != ord("\n"):
+            starts = np.append(starts, ends[-1] + 1 if ends.size else 0)
+            ends = np.append(ends, blob.size)
+        return starts, ends
+
+    # -- queries -----------------------------------------------------------
+
+    def get_read_by_rid(self, rid: int) -> str:
+        s, e = int(self.starts[rid]), int(self.ends[rid])
+        return self.blob[s:e].tobytes().decode("ascii")
+
+    def get_read(self, start: int, end: int, rc: bool = False) -> str:
+        seq = self.blob[start:end].tobytes().decode("ascii")
+        return revcomp(seq) if rc else seq
+
+    def rid_by_pos(self, pos: int | np.ndarray) -> int | np.ndarray:
+        """read id containing blob offset ``pos`` (binary search, not the
+        reference's O(n_reads) interval scan)."""
+        idx = np.searchsorted(self.starts, np.asarray(pos), side="right") - 1
+        return int(idx) if np.isscalar(pos) else idx
+
+    def start_by_pos(self, pos: int) -> int:
+        return int(self.starts[self.rid_by_pos(pos)])
+
+    def iter_reads(self) -> Iterator[tuple[int, str]]:
+        for rid in range(self.n_reads):
+            yield rid, self.get_read_by_rid(rid)
+
+    def iter_reads_se(self) -> Iterator[tuple[int, int, str]]:
+        """Paired reads split at '~' (aindex/core/aindex.py:280-290)."""
+        for rid, read in self.iter_reads():
+            for idx, subread in enumerate(read.split("~")):
+                yield rid, idx, subread
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, prefix: str) -> tuple[str, str]:
+        reads_path = prefix + ".reads"
+        ridx_path = prefix + ".ridx"
+        self.blob.tofile(reads_path)
+        with open(ridx_path, "w") as f:
+            for rid in range(self.n_reads):
+                f.write(f"{rid}\t{self.starts[rid]}\t{self.ends[rid]}\n")
+        return reads_path, ridx_path
+
+
+def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
+                ) -> Iterator[tuple[np.ndarray, int]]:
+    """Fixed-size overlapping chunks of the reads blob for device streaming.
+
+    Consecutive chunks overlap by k-1 bytes so every k-window is produced
+    exactly once — the functional analogue of the reference's worker start
+    pull-back (/root/reference/src/hash.hpp:414-423). The final chunk is
+    padded with newline bytes (invalid windows) to keep shapes static.
+
+    Yields (ascii_chunk[chunk], global_start_offset).
+    """
+    if blob.size == 0:
+        return
+    step = chunk - (k - 1)
+    pad_byte = ord("\n")
+    for off in range(0, max(blob.size - (k - 1), 1), step):
+        piece = blob[off:off + chunk]
+        if piece.size < chunk:
+            piece = np.concatenate(
+                [piece, np.full(chunk - piece.size, pad_byte, dtype=np.uint8)])
+        yield piece, off

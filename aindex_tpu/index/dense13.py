@@ -1,0 +1,138 @@
+"""Dense 13-mer index: the complete 4^13 k-mer space as one device table.
+
+The reference builds an emphf MPHF over all 4^13 13-mers and counts into
+MPHF-slot order (/root/reference/src/count_kmers13.cpp:27,141-160). On TPU
+the k-mer's own 2-bit code *is* the slot (SURVEY.md section 7.1): the table
+is a dense uint32[67,108,864] device array (256 MB in HBM), counting is a
+masked scatter-add, and every query family is one or two gathers.
+
+Counting is forward-strand only, matching count_kmers13 (no
+canonicalisation; fwd+rc are combined at query time,
+/root/reference/src/count_kmers13.cpp:141-160).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aindex_tpu.constants import K13, SPACE_13
+from aindex_tpu.core import codec
+from aindex_tpu.core.reads import blob_chunks
+from aindex_tpu.kernels import coverage as cov_kernels
+from aindex_tpu.kernels.count import count_batch_13
+from aindex_tpu.kernels.lookup import gather_tf_both_13, gather_tf_total_13, gather_tf_valid
+
+_count_step = jax.jit(
+    functools.partial(count_batch_13, k=K13, space=SPACE_13),
+    donate_argnums=(0,),
+)
+
+
+class Dense13Index:
+    """Complete dense 13-mer frequency table resident on device."""
+
+    k = K13
+    space = SPACE_13
+
+    def __init__(self, tf: jax.Array):
+        if tf.shape != (SPACE_13,):
+            raise ValueError(f"expected shape ({SPACE_13},), got {tf.shape}")
+        self.tf = tf
+        self._tf_host: np.ndarray | None = None
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def build_from_blob(cls, blob: np.ndarray, chunk: int = 1 << 22) -> "Dense13Index":
+        """Count all forward-strand 13-mers of a concatenated sequence blob.
+
+        The blob is streamed through the device in fixed-size overlapping
+        chunks; separators/newlines/N's invalidate their windows on device.
+        """
+        counts = jnp.zeros((SPACE_13,), dtype=jnp.uint32)
+        for piece, _ in blob_chunks(blob, K13, chunk):
+            counts = _count_step(counts, jnp.asarray(piece))
+        counts.block_until_ready()
+        return cls(counts)
+
+    @classmethod
+    def build_from_sequences(cls, sequences: list[str], chunk: int = 1 << 22) -> "Dense13Index":
+        text = "".join(s + "\n" for s in sequences)
+        blob = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+        return cls.build_from_blob(blob, chunk)
+
+    # -- persistence (.tf.bin = uint64 x 4^13, code order;
+    #    reference format is MPHF-slot order — parity is at kmer->tf level) --
+
+    def save(self, tf_path: str) -> None:
+        np.asarray(self.tf, dtype=np.uint64).tofile(tf_path)
+
+    @classmethod
+    def load(cls, tf_path: str) -> "Dense13Index":
+        raw = np.fromfile(tf_path, dtype=np.uint64, count=SPACE_13)
+        if raw.size != SPACE_13:
+            raise ValueError(f"{tf_path}: expected {SPACE_13} uint64 entries, got {raw.size}")
+        clipped = np.minimum(raw, np.iinfo(np.uint32).max).astype(np.uint32)
+        return cls(jnp.asarray(clipped))
+
+    # -- host-side helpers ----------------------------------------------
+
+    def _encode(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        codes, valid = codec.encode_kmers(kmers, K13)
+        return codes.astype(np.uint32), valid
+
+    @property
+    def tf_host(self) -> np.ndarray:
+        if self._tf_host is None:
+            self._tf_host = np.asarray(self.tf)
+        return self._tf_host
+
+    def invalidate_host_cache(self) -> None:
+        self._tf_host = None
+
+    # -- queries (batch-first; scalar wrappers in the API facade) --------
+
+    def get_tf_values(self, kmers: list[str]) -> np.ndarray:
+        """Forward-strand tf per k-mer (get_tf_value_13mer semantics,
+        /root/reference/src/python_wrapper.cpp:482-503)."""
+        codes, valid = self._encode(kmers)
+        return np.asarray(gather_tf_valid(self.tf, jnp.asarray(codes), jnp.asarray(valid)))
+
+    def get_total_tf_values(self, kmers: list[str]) -> np.ndarray:
+        """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543)."""
+        codes, valid = self._encode(kmers)
+        return np.asarray(gather_tf_total_13(self.tf, jnp.asarray(codes), jnp.asarray(valid)))
+
+    def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        codes, valid = self._encode(kmers)
+        fwd, rc = gather_tf_both_13(self.tf, jnp.asarray(codes), jnp.asarray(valid))
+        return np.asarray(fwd), np.asarray(rc)
+
+    def get_tf_by_index(self, index: int) -> int:
+        """tf by raw table index (get_tf_by_index_13mer,
+        /root/reference/src/python_wrapper.cpp:992-998)."""
+        return int(self.tf_host[index])
+
+    def get_tf_array(self) -> np.ndarray:
+        return self.tf_host
+
+    def sequence_coverage(self, seq: str, cutoff: int = 0) -> np.ndarray:
+        """Per-position forward tf vector over a sequence
+        (aindex/core/aindex.py:314-322 with 13-mer dispatch)."""
+        return cov_kernels.coverage_dense(self.tf, seq, K13, cutoff)
+
+    def stats(self) -> dict:
+        """total/non_zero/max/total_count (get_13mer_statistics,
+        /root/reference/src/python_wrapper.cpp:1038-1068)."""
+        tf = self.tf
+        non_zero = int(jnp.sum(tf > 0))
+        return {
+            "total_kmers": SPACE_13,
+            "non_zero_kmers": non_zero,
+            "max_frequency": int(jnp.max(tf)),
+            "total_count": int(jnp.sum(tf.astype(jnp.uint64))),
+        }

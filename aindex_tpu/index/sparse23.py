@@ -1,0 +1,279 @@
+"""Sparse canonical 23-mer index: MPHF + checker + tf as device arrays.
+
+TPU re-architecture of PHASH_MAP (/root/reference/src/hash.hpp:82-353):
+
+* counting is canonical (min of forward/revcomp code,
+  /root/reference/src/count_kmers.cpp:132-136) and sort-based — windows are
+  extracted on device, then reduced by np.unique instead of thread-local
+  hash maps + merge (/root/reference/src/count_kmers.cpp:47-64,334-341);
+* the MPHF (aindex_tpu.index.mphf) maps canonical code -> slot;
+* ``checker`` stores the canonical code per slot and rejects MPHF false
+  positives for alien keys, exactly as /root/reference/src/hash.hpp:123-140;
+* all query families are batched device gathers.
+
+Note on lexicographic vs numeric canonical order: ASCII 'A'<'C'<'G'<'T' is
+monotone with the 2-bit encoding, so string-min (reference get_pfid,
+/root/reference/src/hash.hpp:150-170) equals numeric code-min.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aindex_tpu.constants import K23, SUFFIX_KMERS_BIN, SUFFIX_PF, SUFFIX_TF
+from aindex_tpu.core import codec
+from aindex_tpu.core.reads import blob_chunks
+from aindex_tpu.index.mphf import MPHF
+from aindex_tpu.kernels import coverage as cov_kernels
+from aindex_tpu.kernels.encode import (ascii_to_base_codes, canonical_code64,
+                                       window_codes)
+from aindex_tpu.kernels.lookup import mphf_lookup
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _extract_canonical(ascii_chunk: jax.Array, k: int):
+    base = ascii_to_base_codes(ascii_chunk)
+    codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
+    return canonical_code64(codes, k), valid
+
+
+@jax.jit
+def _query_kernel(g_packed, slots, checker, tf, seed, domain, canon, valid):
+    slot = mphf_lookup(g_packed, slots, canon, seed, domain)
+    ok = (checker[slot] == canon) & valid
+    zero = jnp.zeros((), tf.dtype)
+    return jnp.where(ok, tf[slot], zero), jnp.where(ok, slot, jnp.full((), -1, slot.dtype))
+
+
+def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """(unique canonical codes, counts) over all valid windows of the blob.
+
+    Device extracts + canonicalises windows; the host reduces each chunk with
+    np.unique and merges partial spectra (deterministic, race-free — replaces
+    the reference's atomic scatter counting, SURVEY.md section 2.7).
+    """
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for piece, _ in blob_chunks(blob, k, chunk):
+        canon, valid = _extract_canonical(jnp.asarray(piece), k)
+        canon_np = np.asarray(canon)[np.asarray(valid)]
+        if canon_np.size:
+            parts.append(np.unique(canon_np, return_counts=True))
+    if not parts:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    all_keys = np.concatenate([p[0] for p in parts])
+    all_counts = np.concatenate([p[1] for p in parts])
+    keys, inv = np.unique(all_keys, return_inverse=True)
+    counts = np.zeros(keys.size, dtype=np.uint64)
+    np.add.at(counts, inv, all_counts)
+    return keys, counts
+
+
+class Sparse23Index:
+    """Sparse canonical k-mer index (default k=23) with device-side queries."""
+
+    def __init__(self, mphf: MPHF, checker: np.ndarray, tf: np.ndarray, k: int = K23):
+        self.k = k
+        self.mphf = mphf
+        self.checker_host = np.asarray(checker, dtype=np.uint64)
+        self.tf_host = np.asarray(tf, dtype=np.uint32)
+        # device replicas
+        self.g_packed = jnp.asarray(mphf.g_packed)
+        self.slots = jnp.asarray(mphf.slots)
+        self.checker = jnp.asarray(self.checker_host)
+        self.tf = jnp.asarray(self.tf_host)
+        self.seed = jnp.uint64(mphf.seed)
+        self.domain = jnp.uint64(mphf.domain)
+
+    @property
+    def n(self) -> int:
+        return self.mphf.n
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def build_from_blob(cls, blob: np.ndarray, k: int = K23,
+                        min_tf: int = 1, chunk: int = 1 << 22) -> "Sparse23Index":
+        keys, counts = count_canonical_kmers(blob, k, chunk)
+        if min_tf > 1:
+            keep = counts >= min_tf
+            keys, counts = keys[keep], counts[keep]
+        return cls.from_spectrum(keys, counts, k)
+
+    @classmethod
+    def build_from_sequences(cls, sequences: list[str], k: int = K23,
+                             min_tf: int = 1) -> "Sparse23Index":
+        text = "".join(s + "\n" for s in sequences)
+        blob = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+        return cls.build_from_blob(blob, k, min_tf)
+
+    @classmethod
+    def from_spectrum(cls, keys: np.ndarray, counts: np.ndarray, k: int = K23
+                      ) -> "Sparse23Index":
+        """Build MPHF + slot-ordered arrays from a (key, count) spectrum —
+        the analogue of index_hash_pp (/root/reference/src/hash.cpp:779-881)."""
+        mphf = MPHF.build(keys.astype(np.uint64))
+        n = mphf.n
+        checker = np.zeros(n, dtype=np.uint64)
+        tf = np.zeros(n, dtype=np.uint32)
+        if n:
+            slot = mphf.lookup(keys)
+            checker[slot] = keys
+            tf[slot] = np.minimum(counts, np.iinfo(np.uint32).max).astype(np.uint32)
+        return cls(mphf, checker, tf, k)
+
+    # -- persistence -----------------------------------------------------
+
+    def save(self, prefix: str) -> None:
+        """Write <prefix>.pf + .tf.bin (uint32/slot) + .kmers.bin (uint64/slot)
+        — the artifact triple of compute_index
+        (/root/reference/src/compute_index.cpp:59-67)."""
+        self.mphf.save(prefix + SUFFIX_PF)
+        self.tf_host.tofile(prefix + SUFFIX_TF)
+        self.checker_host.tofile(prefix + SUFFIX_KMERS_BIN)
+
+    @classmethod
+    def load(cls, prefix: str, k: int = K23) -> "Sparse23Index":
+        mphf = MPHF.load(prefix + SUFFIX_PF)
+        tf = np.fromfile(prefix + SUFFIX_TF, dtype=np.uint32)
+        checker = np.fromfile(prefix + SUFFIX_KMERS_BIN, dtype=np.uint64)
+        if tf.size != mphf.n or checker.size != mphf.n:
+            raise ValueError(
+                f"artifact size mismatch for {prefix}: n={mphf.n}, "
+                f"tf={tf.size}, kmers={checker.size}")
+        return cls(mphf, checker, tf, k)
+
+    # -- encoding helpers --------------------------------------------------
+
+    def _encode(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        return codec.encode_kmers(kmers, self.k)
+
+    # -- queries -----------------------------------------------------------
+
+    def get_tf_values(self, kmers: list[str]) -> np.ndarray:
+        """Canonical tf per k-mer (get_freq semantics,
+        /root/reference/src/hash.hpp:123-140): one MPHF lookup on the
+        canonical form + checker verification."""
+        codes, valid = self._encode(kmers)
+        canon = codec.canonical_code(codes, self.k)
+        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                              self.seed, self.domain,
+                              jnp.asarray(canon), jnp.asarray(valid))
+        return np.asarray(tf)
+
+    def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(fwd tf, rc tf): tf of the k-mer exactly as stored per strand.
+
+        In the canonical index a k-mer's count pools both strands
+        (get_tf_both_directions_23mer, /root/reference/src/python_wrapper.cpp:1219-1260
+        reports (tf, 0) when found forward, (0, tf) when found as revcomp)."""
+        codes, valid = self._encode(kmers)
+        rc = codec.revcomp_code(codes, self.k)
+        canon = np.minimum(codes, rc)
+        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                              self.seed, self.domain,
+                              jnp.asarray(canon), jnp.asarray(valid))
+        tf = np.asarray(tf)
+        is_fwd = codes <= rc
+        return np.where(is_fwd, tf, 0).astype(tf.dtype), np.where(is_fwd, 0, tf).astype(tf.dtype)
+
+    def get_pfids(self, kmers: list[str]) -> np.ndarray:
+        """Canonical slot id per k-mer; n (invalid marker) when absent
+        (get_pfid, /root/reference/src/hash.hpp:150-170)."""
+        codes, valid = self._encode(kmers)
+        canon = codec.canonical_code(codes, self.k)
+        _, slot = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                                self.seed, self.domain,
+                                jnp.asarray(canon), jnp.asarray(valid))
+        slot = np.asarray(slot).astype(np.int64)
+        return np.where(slot < 0, self.n, slot)
+
+    def get_hash_values(self, kmers: list[str]) -> np.ndarray:
+        """Raw (unverified) MPHF ids of the literal k-mer strings
+        (/root/reference/src/python_wrapper.cpp:629-641)."""
+        codes, _ = self._encode(kmers)
+        return np.asarray(self.mphf.lookup(codes)).astype(np.int64)
+
+    def get_strands(self, kmers: list[str]) -> np.ndarray:
+        """0 = not found, 1 = stored forward, 2 = stored as revcomp
+        (/root/reference/src/python_wrapper.cpp:726-742)."""
+        codes, valid = self._encode(kmers)
+        rc = codec.revcomp_code(codes, self.k)
+        canon = np.minimum(codes, rc)
+        tf, slot = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                                 self.seed, self.domain,
+                                 jnp.asarray(canon), jnp.asarray(valid))
+        found = np.asarray(slot) >= 0
+        is_fwd = codes <= rc
+        return np.where(found, np.where(is_fwd, 1, 2), 0).astype(np.int32)
+
+    def get_kmer_by_kid(self, kid: int) -> str:
+        if kid >= self.n or kid < 0:
+            return ""
+        return codec.decode_kmer(int(self.checker_host[kid]), self.k)
+
+    def get_kmer_info(self, kid: int) -> tuple[int, str, str]:
+        """(tf, kmer, rkmer) — /root/reference/src/python_wrapper.cpp:744-755."""
+        if kid >= self.n or kid < 0:
+            return 0, "", ""
+        code = int(self.checker_host[kid])
+        kmer = codec.decode_kmer(code, self.k)
+        rkmer = codec.decode_kmer(codec.revcomp_code(code, self.k), self.k)
+        return int(self.tf_host[kid]), kmer, rkmer
+
+    def sequence_coverage(self, seq: str, cutoff: int = 0) -> np.ndarray:
+        ascii_u8 = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+        if ascii_u8.size < self.k:
+            return np.zeros(0, dtype=np.uint32)
+        out = cov_kernels.coverage_sparse_kernel(
+            self.g_packed, self.slots, self.checker, self.tf,
+            self.seed, self.domain, jnp.asarray(ascii_u8),
+            jnp.uint32(cutoff), self.k)
+        return np.asarray(out)
+
+    # -- De Bruijn continuation queries ------------------------------------
+
+    def debruijn_next(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
+        """tf of the 4 right extensions of each k-mer, shape (B, 4) in ACGT
+        order (/root/reference/src/debrujin.cpp:30-75). cutoff zeroes counts
+        <= cutoff, as in the reference (:44-49)."""
+        codes, _ = self._encode(kmers)
+        mask = np.uint64((1 << (2 * self.k)) - 1)
+        ext = ((codes[:, None] << np.uint64(2)) | np.arange(4, dtype=np.uint64)) & mask
+        return self._ext_tf(ext, cutoff)
+
+    def debruijn_prev(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
+        """tf of the 4 left extensions, shape (B, 4) in ACGT order
+        (/root/reference/src/debrujin.cpp:120-170)."""
+        codes, _ = self._encode(kmers)
+        shift = np.uint64(2 * (self.k - 1))
+        ext = (codes[:, None] >> np.uint64(2)) | (np.arange(4, dtype=np.uint64) << shift)
+        return self._ext_tf(ext, cutoff)
+
+    def _ext_tf(self, ext_codes: np.ndarray, cutoff: int) -> np.ndarray:
+        canon = codec.canonical_code(ext_codes.reshape(-1), self.k)
+        valid = np.ones(canon.shape, dtype=bool)
+        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                              self.seed, self.domain,
+                              jnp.asarray(canon), jnp.asarray(valid))
+        tf = np.asarray(tf).reshape(ext_codes.shape)
+        if cutoff > 0:
+            tf = np.where(tf <= cutoff, 0, tf)
+        return tf
+
+    def stats(self) -> dict:
+        """zero/unique/distinct/total/max spectrum statistics
+        (Stats, /root/reference/src/hash.hpp:38-80)."""
+        tf = self.tf_host
+        non_zero = int(np.count_nonzero(tf))
+        return {
+            "total_kmers": int(self.n),
+            "non_zero_kmers": non_zero,
+            "unique_kmers": int(np.count_nonzero(tf == 1)),
+            "max_frequency": int(tf.max()) if tf.size else 0,
+            "total_count": int(tf.sum(dtype=np.uint64)),
+        }

@@ -1,0 +1,157 @@
+"""Sequence file parsing and reads preparation.
+
+Host-side I/O layer: FASTA/FASTQ/plain parsing with format sniffing
+(/root/reference/src/count_kmers13.cpp:194-206, aindex/cli.py:380-399) and
+the compute_reads transformation (paired-end reads joined as
+``r1 ~ revcomp(r2)``; /root/reference/src/compute_reads.cpp:20-225).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from aindex_tpu.core.codec import revcomp
+
+
+def sniff_format(path: str) -> str:
+    """'fasta' | 'fastq' | 'reads' by first byte ('>' / '@' / other)."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    return "reads"
+
+
+def iter_fasta(path: str):
+    """Yield (header, sequence) with multi-line sequences concatenated."""
+    header, parts = None, []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if header is not None and parts:
+                    yield header, "".join(parts)
+                header, parts = line[1:], []
+            else:
+                parts.append(line)
+    if header is not None and parts:
+        yield header, "".join(parts)
+
+
+def iter_fastq(path: str):
+    """Yield (header, sequence) from a 4-line-record FASTQ."""
+    with open(path) as f:
+        while True:
+            head = f.readline()
+            if not head:
+                return
+            seq = f.readline().rstrip("\n")
+            f.readline()  # +
+            f.readline()  # quality
+            yield head.rstrip("\n")[1:], seq
+
+
+def read_sequences(path: str, fmt: str | None = None) -> list[str]:
+    """All sequences of a FASTA/FASTQ/plain-reads file (auto-sniffed)."""
+    fmt = fmt or sniff_format(path)
+    if fmt == "fasta":
+        return [seq for _, seq in iter_fasta(path)]
+    if fmt == "fastq":
+        return [seq for _, seq in iter_fastq(path)]
+    seqs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                seqs.append(line)
+    return seqs
+
+
+def compute_reads(input1: str, input2: str | None, read_type: str,
+                  output_prefix: str) -> dict:
+    """FASTQ(PE/SE)/FASTA/plain -> <prefix>.reads + .ridx (+ .header).
+
+    Semantics of /root/reference/src/compute_reads.cpp:
+      * fastq (paired): each record pair becomes ``seq1 ~ revcomp(seq2)``
+        on one line (:89-96);
+      * se: one sequence line per FASTQ record;
+      * fasta: one line per (multi-line) record + ``.header`` file with
+        ``header \\t start \\t length`` rows (:170-217);
+      * reads: input already is a reads file — only the offset index is
+        (re)built.
+    ``.ridx`` rows are ``rid \\t start \\t end`` byte offsets into ``.reads``.
+    """
+    out_dir = os.path.dirname(output_prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    reads_path = output_prefix + ".reads"
+    ridx_path = output_prefix + ".ridx"
+    header_path = output_prefix + ".header"
+
+    n_reads = 0
+    start = 0
+
+    def _write(fout, fidx, seq):
+        nonlocal n_reads, start
+        end = start + len(seq)
+        fout.write(seq)
+        fout.write("\n")
+        fidx.write(f"{n_reads}\t{start}\t{end}\n")
+        start = end + 1
+        n_reads += 1
+
+    if read_type == "fastq":
+        if not input2:
+            raise ValueError("paired fastq requires two input files")
+        with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx:
+            for (_, s1), (_, s2) in zip(iter_fastq(input1), iter_fastq(input2)):
+                _write(fout, fidx, s1 + "~" + revcomp(s2))
+    elif read_type == "se":
+        with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx:
+            for _, s in iter_fastq(input1):
+                _write(fout, fidx, s)
+    elif read_type == "fasta":
+        with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx, \
+                open(header_path, "w") as fhead:
+            for head, s in iter_fasta(input1):
+                fhead.write(f"{head}\t{start}\t{len(s)}\n")
+                _write(fout, fidx, s)
+    elif read_type == "reads":
+        with open(input1) as fin, open(ridx_path, "w") as fidx:
+            lines = [ln.rstrip("\n") for ln in fin]
+        if os.path.abspath(input1) != os.path.abspath(reads_path):
+            with open(reads_path, "w") as fout:
+                fout.write("".join(ln + "\n" for ln in lines))
+        with open(ridx_path, "w") as fidx:
+            for ln in lines:
+                end = start + len(ln)
+                fidx.write(f"{n_reads}\t{start}\t{end}\n")
+                start = end + 1
+                n_reads += 1
+    else:
+        raise ValueError(f"unknown read type: {read_type!r}")
+
+    result = {"reads": reads_path, "ridx": ridx_path, "n_reads": n_reads}
+    if read_type == "fasta":
+        result["header"] = header_path
+    return result
+
+
+def reads_to_fasta(reads_path: str, fasta_path: str) -> int:
+    """reads file -> '>i\\nseq' FASTA (scripts/reads_to_fasta.py:20-23)."""
+    n = 0
+    with open(reads_path) as fin, open(fasta_path, "w") as fout:
+        for line in fin:
+            line = line.strip()
+            if line:
+                fout.write(f">{n}\n{line}\n")
+                n += 1
+    return n
+
+
+def load_blob(reads_path: str) -> np.ndarray:
+    return np.fromfile(reads_path, dtype=np.uint8)

@@ -1,0 +1,60 @@
+"""Per-position sequence coverage kernels.
+
+Coverage of a sequence = tf of the k-mer starting at each position
+(aindex/core/aindex.py:314-322). The reference loops per position with one
+hash per k-mer; here the whole profile is one fused device computation:
+LUT gather -> k shift-or window packing -> table gather(s) -> cutoff mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aindex_tpu.kernels.encode import (ascii_to_base_codes, canonical_code64,
+                                       window_codes)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _coverage_dense_kernel(table: jax.Array, ascii_u8: jax.Array, cutoff: jax.Array,
+                           k: int) -> jax.Array:
+    base = ascii_to_base_codes(ascii_u8)
+    codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
+    tf = table[codes.astype(jnp.int32)]
+    tf = jnp.where(valid, tf, jnp.zeros((), tf.dtype))
+    return jnp.where(tf >= cutoff, tf, jnp.zeros((), tf.dtype))
+
+
+def coverage_dense(table: jax.Array, seq: str, k: int, cutoff: int = 0) -> np.ndarray:
+    """Forward-strand coverage against a dense code-indexed table (13-mer)."""
+    ascii_u8 = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    if ascii_u8.size < k:
+        return np.zeros(0, dtype=np.uint32)
+    out = _coverage_dense_kernel(table, jnp.asarray(ascii_u8),
+                                 jnp.uint32(cutoff), k)
+    return np.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def coverage_sparse_kernel(g_packed: jax.Array, slots: jax.Array,
+                           checker: jax.Array, tf: jax.Array,
+                           seed: jax.Array, domain: jax.Array,
+                           ascii_u8: jax.Array, cutoff: jax.Array,
+                           k: int) -> jax.Array:
+    """Canonical coverage against the sparse MPHF-backed table (23-mer).
+
+    One MPHF lookup (4 gathers) + checker verification per position —
+    the batched analogue of get_sequence_coverage over get_tf_value
+    (/root/reference/src/hash.hpp:123-140)."""
+    from aindex_tpu.kernels.lookup import mphf_lookup
+
+    base = ascii_to_base_codes(ascii_u8)
+    codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
+    canon = canonical_code64(codes, k)
+    slot = mphf_lookup(g_packed, slots, canon, seed, domain)
+    ok = (checker[slot] == canon) & valid
+    vals = jnp.where(ok, tf[slot], jnp.zeros((), tf.dtype))
+    return jnp.where(vals >= cutoff, vals, jnp.zeros((), vals.dtype))

@@ -1,0 +1,124 @@
+"""Device-side (JAX) encoding and k-mer window extraction.
+
+The reference extracts k-mers with per-byte scalar loops
+(/root/reference/src/dna_bitseq.hpp:124-151, src/hash.cpp:1006-1022). On TPU
+this becomes a vectorised sliding window over a base-code tensor: k static
+shift-or steps produce every window's 2-bit packed code at once, and window
+validity is a difference of prefix sums over an invalid-base indicator —
+no halo seeking, no data-dependent control flow (SURVEY.md section 2.7).
+
+All functions are jit-compatible with static ``k``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aindex_tpu.constants import INVALID_CODE
+from aindex_tpu.core.codec import BASE_LUT
+
+# Device copy of the ASCII -> 2-bit LUT (uint8; INVALID_CODE for non-ACGT).
+_BASE_LUT_NP = BASE_LUT.copy()
+
+
+def base_lut_device() -> jax.Array:
+    return jnp.asarray(_BASE_LUT_NP)
+
+
+@functools.partial(jax.jit)
+def ascii_to_base_codes(ascii_u8: jax.Array) -> jax.Array:
+    """ASCII byte tensor -> 2-bit base codes (INVALID_CODE for non-ACGT).
+
+    One gather from a 256-entry LUT; the LUT is a compile-time constant so
+    XLA keeps it in VMEM.
+    """
+    return jnp.asarray(_BASE_LUT_NP)[ascii_u8]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "out_dtype"))
+def window_codes(base_codes: jax.Array, k: int, out_dtype=jnp.uint32):
+    """Packed k-mer codes for every window of a base-code array.
+
+    Args:
+      base_codes: uint8[..., L] 2-bit base codes (INVALID_CODE = invalid).
+      k: window length (static). Use out_dtype=jnp.uint32 for k <= 16,
+         jnp.uint64 for k <= 32.
+
+    Returns:
+      (codes, valid): codes[..., L-k+1] packed windows, valid[..., L-k+1]
+      bool mask (False if any base in the window is invalid).
+
+    Replaces the scalar packing loop of dna_bitset::ukmer
+    (/root/reference/src/dna_bitseq.hpp:124-151) with k fused shift-or steps.
+    """
+    L = base_codes.shape[-1]
+    n_win = L - k + 1
+    if n_win <= 0:
+        raise ValueError(f"sequence length {L} shorter than k={k}")
+    invalid = (base_codes >= 4).astype(jnp.int32)
+    # Window validity via prefix sums: window i is valid iff no invalid base
+    # occurs in [i, i+k).
+    csum = jnp.cumsum(invalid, axis=-1)
+    head = jnp.zeros_like(csum[..., :1])
+    csum = jnp.concatenate([head, csum], axis=-1)
+    valid = (csum[..., k:] - csum[..., :-k]) == 0
+
+    b = (base_codes & 3).astype(out_dtype)
+    acc = jax.lax.slice_in_dim(b, 0, n_win, axis=-1)
+    for j in range(1, k):
+        acc = (acc << 2) | jax.lax.slice_in_dim(b, j, j + n_win, axis=-1)
+    return acc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def revcomp_code13(codes: jax.Array, k: int = 13) -> jax.Array:
+    """Reverse complement of <=16-mer codes held in uint32 (branch-free).
+
+    32-bit analogue of reverseDNA (/root/reference/src/kmers.cpp:355-388):
+    complement = NOT of each 2-bit field, then mirror the 2-bit fields and
+    shift down to the low 2k bits. Runs entirely on the VPU.
+    """
+    x = (~codes).astype(jnp.uint32)
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    x = ((x >> 2) & m2) | ((x & m2) << 2)
+    x = ((x >> 4) & m4) | ((x & m4) << 4)
+    x = ((x >> 8) & m8) | ((x & m8) << 8)
+    x = (x >> 16) | (x << 16)
+    return x >> (32 - 2 * k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def revcomp_code64(codes: jax.Array, k: int) -> jax.Array:
+    """Reverse complement of <=32-mer codes held in uint64 (branch-free)."""
+    x = (~codes).astype(jnp.uint64)
+    m2 = jnp.uint64(0x3333333333333333)
+    m4 = jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    m8 = jnp.uint64(0x00FF00FF00FF00FF)
+    m16 = jnp.uint64(0x0000FFFF0000FFFF)
+    x = ((x >> 2) & m2) | ((x & m2) << 2)
+    x = ((x >> 4) & m4) | ((x & m4) << 4)
+    x = ((x >> 8) & m8) | ((x & m8) << 8)
+    x = ((x >> 16) & m16) | ((x & m16) << 16)
+    x = (x >> 32) | (x << 32)
+    return x >> (64 - 2 * k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_code64(codes: jax.Array, k: int) -> jax.Array:
+    """min(code, revcomp) canonical form on device
+    (/root/reference/src/count_kmers.cpp:132-136)."""
+    return jnp.minimum(codes, revcomp_code64(codes, k))
+
+
+def pad_to(arr: np.ndarray, length: int, fill) -> np.ndarray:
+    """Host-side right-pad helper producing static shapes for jit."""
+    if arr.shape[-1] >= length:
+        return arr[..., :length]
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, length - arr.shape[-1])]
+    return np.pad(arr, pad, constant_values=fill)
