@@ -1,0 +1,143 @@
+"""API facade tests: dict protocol, dispatch, iterators, read resolution
+(mirroring the reference's functionality test surface, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from aindex_tpu import AIndex, get_revcomp, hamming_distance
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def reads():
+    rng = np.random.default_rng(55)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [bytes(bases[rng.integers(0, 4, size=64)]).decode() for _ in range(20)]
+    reads.append(reads[0][:32] + "~" + get_revcomp(reads[1][:32]))  # PE read
+    return reads
+
+
+@pytest.fixture(scope="module")
+def idx13(reads):
+    return AIndex.build_from_sequences(reads, kmer_size=13)
+
+
+@pytest.fixture(scope="module")
+def idx23(reads):
+    return AIndex.build_from_sequences(reads, kmer_size=23)
+
+
+class TestDictProtocol:
+    def test_getitem_contains_get(self, idx13, reads):
+        km = reads[0][:13]
+        golden = oracle.count_forward(reads, 13)
+        assert idx13[km] == golden[km]
+        assert km in idx13
+        assert idx13.get("G" * 13, -1) in (-1, idx13["G" * 13] or -1)
+
+    def test_len(self, idx13, idx23):
+        assert len(idx13) == 4 ** 13
+        assert len(idx23) == idx23.sparse23.n
+
+
+class TestDispatch:
+    def test_tf_dispatch_by_length(self, idx13, idx23, reads):
+        g13 = oracle.count_forward(reads, 13)
+        g23 = oracle.count_canonical(reads, 23)
+        km13, km23 = reads[2][:13], reads[2][:23]
+        assert idx13.get_tf_value(km13) == g13[km13]
+        assert idx23.get_tf_value(km23) == g23[min(km23, oracle.rc(km23))]
+
+    def test_wrong_length_returns_zero(self, idx13):
+        assert idx13.get_tf_value("ACGT") == 0
+
+    def test_coverage_dispatch(self, idx13, idx23, reads):
+        g13 = oracle.count_forward(reads, 13)
+        assert idx13.get_sequence_coverage(reads[0], k=13) == \
+            oracle.coverage_forward(g13, reads[0], 13)
+        g23 = oracle.count_canonical(reads, 23)
+        assert idx23.get_sequence_coverage(reads[0], k=23) == \
+            oracle.coverage_canonical(g23, reads[0], 23)
+
+
+class TestPositionsAndReads:
+    def test_rid2poses(self, idx23, reads):
+        km = reads[3][10:33]
+        poses = idx23.get_rid2poses(km)
+        assert poses, "kmer from read 3 must be found"
+        blob = oracle.blob_of(reads)
+        for rid, offsets in poses.items():
+            start = int(idx23.reads.starts[rid])
+            for off in offsets:
+                window = blob[start + off:start + off + 23]
+                assert window in (km, oracle.rc(km))
+
+    def test_get_reads_by_kmer(self, idx23, reads):
+        km = reads[3][10:33]
+        hits = idx23.get_reads_by_kmer(km)
+        assert any(km in h or oracle.rc(km) in h for h in hits)
+
+    def test_iter_reads(self, idx13, reads):
+        got = list(idx13.iter_reads())
+        assert got[0] == (0, reads[0])
+        assert len(got) == len(reads)
+
+    def test_iter_reads_se_splits_pairs(self, idx13, reads):
+        rows = list(idx13.iter_reads_se())
+        # the PE read contributes two subreads
+        pe_rows = [r for r in rows if r[0] == len(reads) - 1]
+        assert len(pe_rows) == 2
+        assert pe_rows[0][2] == reads[0][:32]
+
+
+class TestFrequencyTools:
+    def test_iter_kmers_by_frequency_sorted(self, idx23):
+        out = list(idx23.iter_kmers_by_frequency(max_kmers=20))
+        tfs = [t for _, t in out]
+        assert tfs == sorted(tfs, reverse=True)
+
+    def test_top_kmers_match_oracle_max(self, idx23, reads):
+        golden = oracle.count_canonical(reads, 23)
+        top = idx23.get_top_kmers(1)[0]
+        assert top[1] == max(golden.values())
+
+    def test_frequency_stats(self, idx13, reads):
+        golden = oracle.count_forward(reads, 13)
+        s = idx13.get_kmer_frequency_stats()
+        assert s["total_tf"] == sum(golden.values())
+        assert s["non_zero_kmers"] == len(golden)
+
+
+class TestLoadFromPrefix:
+    def test_autodetect_13(self, idx13, tmp_path, reads):
+        prefix = str(tmp_path / "x.13")
+        idx13.dense13.save(prefix + ".tf.bin")
+        idx13.pos13.save(prefix)
+        idx13.reads.save(prefix)
+        again = AIndex.load_from_prefix(prefix, load_reads=True)
+        km = reads[0][:13]
+        assert again[km] == idx13[km]
+        assert again.get_positions(km) == idx13.get_positions(km)
+        assert again.n_reads == len(reads)
+
+    def test_autodetect_23(self, idx23, tmp_path, reads):
+        prefix = str(tmp_path / "x.23")
+        idx23.sparse23.save(prefix)
+        idx23.pos23.save(prefix)
+        again = AIndex.load_from_prefix(prefix)
+        km = reads[0][:23]
+        assert again[km] == idx23[km]
+
+    def test_missing_prefix_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            AIndex.load_from_prefix(str(tmp_path / "nope"))
+
+
+class TestHelpers:
+    def test_get_revcomp(self):
+        assert get_revcomp("ACGT") == "ACGT"
+        assert get_revcomp("AAGG") == "CCTT"
+
+    def test_hamming(self):
+        assert hamming_distance("AAAA", "AATA") == 1

@@ -1,0 +1,156 @@
+"""Golden-value parity tests for the sparse canonical 23-mer index."""
+
+import numpy as np
+import pytest
+
+from aindex_tpu.core.reads import ReadsStore
+from aindex_tpu.index.mphf import MPHF
+from aindex_tpu.index.sparse23 import Sparse23Index, count_canonical_kmers
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def reads():
+    rng = np.random.default_rng(777)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [bytes(bases[rng.integers(0, 4, size=70)]).decode() for _ in range(30)]
+    reads += ["ACGT" * 20, "TTT" + "N" * 3 + "ACGTACGTACGTACGTACGTACG"]
+    return reads
+
+
+@pytest.fixture(scope="module")
+def built(reads):
+    store = ReadsStore.from_sequences(reads)
+    index = Sparse23Index.build_from_blob(store.blob)
+    return index, oracle.count_canonical(reads, 23)
+
+
+class TestMPHF:
+    def test_bijection(self, rng):
+        keys = np.unique(rng.integers(0, 2**46, size=5000).astype(np.uint64))
+        mphf = MPHF.build(keys)
+        slots = mphf.lookup(keys)
+        assert sorted(slots) == list(range(len(keys)))
+
+    def test_save_load(self, rng, tmp_path):
+        keys = np.unique(rng.integers(0, 2**46, size=1000).astype(np.uint64))
+        mphf = MPHF.build(keys)
+        path = str(tmp_path / "x.pf")
+        mphf.save(path)
+        again = MPHF.load(path)
+        assert (again.lookup(keys) == mphf.lookup(keys)).all()
+
+    def test_duplicate_keys_rejected(self):
+        with pytest.raises(ValueError):
+            MPHF.build(np.array([1, 1, 2], dtype=np.uint64))
+
+    def test_empty(self):
+        mphf = MPHF.build(np.zeros(0, dtype=np.uint64))
+        assert mphf.n == 0
+
+
+class TestSpectrum:
+    def test_spectrum_matches_oracle(self, reads, built):
+        _, golden = built
+        store = ReadsStore.from_sequences(reads)
+        keys, counts = count_canonical_kmers(store.blob)
+        from aindex_tpu.core import codec
+        got = dict(zip(codec.decode_kmers(keys, 23), counts.tolist()))
+        assert got == golden
+
+    def test_chunk_boundary_invariance(self, reads):
+        store = ReadsStore.from_sequences(reads)
+        k1, c1 = count_canonical_kmers(store.blob, chunk=128)
+        k2, c2 = count_canonical_kmers(store.blob, chunk=1 << 22)
+        assert (k1 == k2).all() and (c1 == c2).all()
+
+
+class TestQueries:
+    def test_every_kmer_tf_matches_oracle(self, built):
+        index, golden = built
+        kmers = sorted(golden)
+        tfs = index.get_tf_values(kmers)
+        assert [int(t) for t in tfs] == [golden[km] for km in kmers]
+
+    def test_revcomp_query_equals_canonical(self, built):
+        index, golden = built
+        kmers = sorted(golden)[:100]
+        rcs = [oracle.rc(km) for km in kmers]
+        tfs = index.get_tf_values(rcs)
+        assert [int(t) for t in tfs] == [golden[km] for km in kmers]
+
+    def test_absent_and_invalid_zero(self, built):
+        index, golden = built
+        absent = "A" * 23
+        assert absent not in golden and oracle.rc(absent) not in golden
+        assert list(index.get_tf_values([absent, "ACGTN" + "A" * 18])) == [0, 0]
+
+    def test_strand(self, built):
+        index, golden = built
+        km = sorted(golden)[0]
+        assert index.get_strands([km])[0] in (1, 2)
+        fwd_stored = km == min(km, oracle.rc(km))
+        assert index.get_strands([km])[0] == (1 if fwd_stored else 2)
+        assert index.get_strands([oracle.rc(km)])[0] == (2 if fwd_stored else 1)
+        assert index.get_strands(["A" * 23])[0] == 0
+
+    def test_pfid_checker_rejects_alien(self, built):
+        index, golden = built
+        assert int(index.get_pfids(["A" * 23])[0]) == index.n  # invalid marker
+
+    def test_kid_roundtrip(self, built):
+        index, _ = built
+        for kid in [0, index.n // 2, index.n - 1]:
+            km = index.get_kmer_by_kid(kid)
+            assert int(index.get_pfids([km])[0]) == kid
+
+    def test_kmer_info(self, built):
+        index, golden = built
+        tf, km, rkm = index.get_kmer_info(3)
+        assert oracle.rc(km) == rkm
+        assert tf == golden[min(km, rkm)]
+
+    def test_coverage_matches_oracle(self, built, reads):
+        index, golden = built
+        for seq in [reads[0], "ACGTN" + reads[1]]:
+            cov = index.sequence_coverage(seq)
+            assert list(cov) == oracle.coverage_canonical(golden, seq, 23)
+
+    def test_stats(self, built):
+        index, golden = built
+        s = index.stats()
+        assert s["total_kmers"] == len(golden)
+        assert s["total_count"] == sum(golden.values())
+        assert s["max_frequency"] == max(golden.values())
+
+
+class TestDeBruijn:
+    def test_next_prev_match_oracle(self, built):
+        index, golden = built
+        km = max(golden, key=golden.get)
+        nxt = index.debruijn_next([km])[0]
+        prv = index.debruijn_prev([km])[0]
+        for i, b in enumerate("ACGT"):
+            ext = km[1:] + b
+            assert nxt[i] == golden.get(min(ext, oracle.rc(ext)), 0)
+            ext_l = b + km[:-1]
+            assert prv[i] == golden.get(min(ext_l, oracle.rc(ext_l)), 0)
+
+    def test_cutoff_zeroes(self, built):
+        index, golden = built
+        km = max(golden, key=golden.get)
+        big = int(index.debruijn_next([km]).max())
+        row = index.debruijn_next([km], cutoff=big)[0]
+        assert (np.asarray(row) == 0).all()
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, built, tmp_path, reads):
+        index, golden = built
+        prefix = str(tmp_path / "t.23")
+        index.save(prefix)
+        again = Sparse23Index.load(prefix)
+        kmers = sorted(golden)[:50]
+        assert list(again.get_tf_values(kmers)) == list(index.get_tf_values(kmers))
+        assert (again.checker_host == index.checker_host).all()
