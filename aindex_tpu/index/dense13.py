@@ -24,12 +24,27 @@ from aindex_tpu.core import codec
 from aindex_tpu.core.reads import blob_chunks
 from aindex_tpu.kernels import coverage as cov_kernels
 from aindex_tpu.kernels.count import count_batch_13
-from aindex_tpu.kernels.lookup import gather_tf_both_13, gather_tf_total_13, gather_tf_valid
+from aindex_tpu.kernels.lookup import gather_tf_both_13, gather_tf_valid
 
 _count_step = jax.jit(
     functools.partial(count_batch_13, k=K13, space=SPACE_13),
     donate_argnums=(0,),
 )
+
+
+@jax.jit
+def _build_total_table(tf: jax.Array) -> jax.Array:
+    """tf + tf permuted by the revcomp involution (one-time table fusion)."""
+    from aindex_tpu.kernels.encode import revcomp_code13
+    codes = jnp.arange(SPACE_13, dtype=jnp.uint32)
+    rc = revcomp_code13(codes, K13)
+    return tf + tf[rc.astype(jnp.int32)]
+
+
+@jax.jit
+def _gather_total(tf_total: jax.Array, codes: jax.Array, valid: jax.Array) -> jax.Array:
+    tf = tf_total[codes.astype(jnp.int32)]
+    return jnp.where(valid, tf, jnp.zeros((), tf.dtype))
 
 
 class Dense13Index:
@@ -43,6 +58,19 @@ class Dense13Index:
             raise ValueError(f"expected shape ({SPACE_13},), got {tf.shape}")
         self.tf = tf
         self._tf_host: np.ndarray | None = None
+        self._tf_total: jax.Array | None = None
+
+    @property
+    def tf_total(self) -> jax.Array:
+        """Fused fwd+rc table: tf_total[c] = tf[c] + tf[revcomp(c)].
+
+        Materialised once (one full-table permutation gather) so that every
+        total-tf query afterwards is a single HBM gather instead of two —
+        the dominant cost of the batched query path on TPU.
+        """
+        if self._tf_total is None:
+            self._tf_total = _build_total_table(self.tf)
+        return self._tf_total
 
     # -- construction --------------------------------------------------
 
@@ -103,9 +131,12 @@ class Dense13Index:
         return np.asarray(gather_tf_valid(self.tf, jnp.asarray(codes), jnp.asarray(valid)))
 
     def get_total_tf_values(self, kmers: list[str]) -> np.ndarray:
-        """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543)."""
+        """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543).
+
+        One gather against the fused tf_total table (see ``tf_total``)."""
         codes, valid = self._encode(kmers)
-        return np.asarray(gather_tf_total_13(self.tf, jnp.asarray(codes), jnp.asarray(valid)))
+        return np.asarray(_gather_total(self.tf_total, jnp.asarray(codes),
+                                        jnp.asarray(valid)))
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
         codes, valid = self._encode(kmers)

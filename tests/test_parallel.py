@@ -1,0 +1,84 @@
+"""Multi-device parity tests on a virtual 8-device CPU mesh (SURVEY.md §4:
+sharded counts/queries must match the single-device path bit-exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aindex_tpu.core.reads import ReadsStore
+from aindex_tpu.index.dense13 import Dense13Index
+from aindex_tpu.index.sparse23 import Sparse23Index
+from aindex_tpu.parallel.count13 import count13_sharded, pack_reads_batch
+from aindex_tpu.parallel.mesh import make_mesh
+from aindex_tpu.parallel.query23 import ShardedSparse23
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def reads():
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [bytes(bases[rng.integers(0, 4, size=40 + int(rng.integers(0, 30)))]).decode()
+             for _ in range(37)]  # deliberately not divisible by 8
+    reads.append("ACGT" * 12)
+    reads.append("AATT" + "N" * 4 + "GGCCGGCCGGCCGGCCGGCCGGC")
+    return reads
+
+
+def test_sharded_count_matches_oracle_and_single_device(reads, eight_devices):
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    batch = pack_reads_batch(reads, n_shards=8)
+    table = np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh))
+
+    golden = oracle.count_forward(reads, 13)
+    store = ReadsStore.from_sequences(reads)
+    single = Dense13Index.build_from_blob(store.blob)
+
+    assert (table == single.tf_host).all()
+    assert table.sum(dtype=np.uint64) == sum(golden.values())
+
+
+def test_sharded_count_data_axis_sizes(reads, eight_devices):
+    """Same result regardless of how many devices shard the batch."""
+    tables = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+        batch = pack_reads_batch(reads, n_shards=n)
+        tables.append(np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh)))
+    for t in tables[1:]:
+        assert (t == tables[0]).all()
+
+
+@pytest.mark.parametrize("n_index", [2, 4, 8])
+def test_sharded_23mer_query_matches_single_device(reads, eight_devices, n_index):
+    store = ReadsStore.from_sequences(reads)
+    index = Sparse23Index.build_from_blob(store.blob)
+    mesh = make_mesh(n_data=1, n_index=n_index, devices=eight_devices[:n_index])
+    sharded = ShardedSparse23(index, mesh)
+
+    golden = oracle.count_canonical(reads, 23)
+    kmers = sorted(golden)[:300] + ["A" * 23, "ACGTN" + "A" * 18]
+    got = sharded.get_tf_values(kmers)
+    want = index.get_tf_values(kmers)
+    assert (got == want).all()
+    assert [int(v) for v in got[:300]] == [golden[km] for km in kmers[:300]]
+
+
+def test_2d_mesh_count_and_query(reads, eight_devices):
+    """data x index 2-D mesh: count over data axis while the sparse table
+    lives sharded on the index axis."""
+    mesh = make_mesh(n_data=2, n_index=4, devices=eight_devices)
+    batch = pack_reads_batch(reads, n_shards=2)
+    table = np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh))
+    store = ReadsStore.from_sequences(reads)
+    single = Dense13Index.build_from_blob(store.blob)
+    assert (table == single.tf_host).all()
+
+    index = Sparse23Index.build_from_blob(store.blob)
+    sharded = ShardedSparse23(index, mesh)
+    golden = oracle.count_canonical(reads, 23)
+    kmers = sorted(golden)[:100]
+    assert [int(v) for v in sharded.get_tf_values(kmers)] == \
+        [golden[km] for km in kmers]
