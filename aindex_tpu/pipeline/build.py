@@ -1,0 +1,141 @@
+"""End-to-end index build pipeline (in-process).
+
+The reference chains five separate C++ binaries through the filesystem
+(scripts/compute_aindex.py, SURVEY.md §3.1: compute_reads -> kmer_counter ->
+compute_mphf_seq -> compute_index -> compute_aindex). Here each phase is a
+function call producing the same artifact set, so a failed phase can be
+rerun from its input artifacts (they double as checkpoints, SURVEY.md §5):
+
+  <prefix>.reads, .ridx[, .header]      reads preparation
+  <prefix>.dat                          text k-mer spectrum (23-mer mode)
+  <prefix>.pf, .tf.bin, .kmers.bin      frequency index
+  <prefix>.index.bin, .indices.bin      positional index
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import numpy as np
+
+from aindex_tpu.constants import K13, K23
+from aindex_tpu.core import codec
+from aindex_tpu.core.reads import ReadsStore
+from aindex_tpu.index.dense13 import Dense13Index
+from aindex_tpu.index.positional import PositionalIndex
+from aindex_tpu.index.sparse23 import Sparse23Index, count_canonical_kmers
+from aindex_tpu.io import fastq as io_fastq
+
+logger = logging.getLogger("aindex_tpu.pipeline")
+
+
+@dataclasses.dataclass
+class BuildConfig:
+    """One typed config for the whole pipeline (the reference's settings are
+    three uncoordinated layers of globals/argv — SURVEY.md §5)."""
+    prefix: str
+    k: int = K23
+    min_tf: int = 1
+    build_aindex: bool = True
+    keep_dat: bool = False
+    chunk: int = 1 << 22
+    lowercase_ok: bool = True
+
+
+def prepare_reads(inputs: list[str], read_type: str | None, prefix: str) -> ReadsStore:
+    """Phase 1: raw input file(s) -> <prefix>.reads + .ridx (+ .header).
+
+    ``inputs`` is 1 file (se/fasta/reads) or 2 (paired fastq). Format is
+    sniffed when ``read_type`` is None (aindex/cli.py:380-399 semantics).
+    """
+    if read_type is None:
+        fmt = io_fastq.sniff_format(inputs[0])
+        if fmt == "fastq":
+            read_type = "fastq" if len(inputs) == 2 else "se"
+        else:
+            read_type = fmt
+    t0 = time.time()
+    if len(inputs) > 2:
+        raise ValueError("at most two input files (paired-end) supported")
+    io_fastq.compute_reads(inputs[0], inputs[1] if len(inputs) == 2 else None,
+                           read_type, prefix)
+    store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
+    logger.info("prepare_reads: %d reads, %d bytes (%.2fs)",
+                store.n_reads, store.reads_size, time.time() - t0)
+    return store
+
+
+def save_dat(keys: np.ndarray, counts: np.ndarray, k: int, path: str) -> None:
+    """Text spectrum 'kmer\\ttf' sorted by tf desc — the reference counter's
+    output format (/root/reference/src/count_kmers.cpp:362-382)."""
+    order = np.argsort(counts, kind="stable")[::-1]
+    with open(path, "w") as f:
+        for i in order:
+            f.write(f"{codec.decode_kmer(int(keys[i]), k)}\t{int(counts[i])}\n")
+
+
+def build_dense13(store: ReadsStore, cfg: BuildConfig) -> Dense13Index:
+    """Phase 2a (13-mer): dense count -> <prefix>.tf.bin (uint64 x 4^13)."""
+    t0 = time.time()
+    index = Dense13Index.build_from_blob(store.blob, chunk=cfg.chunk)
+    index.save(cfg.prefix + ".tf.bin")
+    logger.info("build_dense13: %s (%.2fs)", index.stats(), time.time() - t0)
+    return index
+
+
+def build_sparse(store: ReadsStore, cfg: BuildConfig) -> Sparse23Index:
+    """Phase 2b (sparse k): canonical count -> MPHF -> .pf/.tf.bin/.kmers.bin."""
+    t0 = time.time()
+    keys, counts = count_canonical_kmers(store.blob, cfg.k, cfg.chunk)
+    if cfg.min_tf > 1:
+        keep = counts >= cfg.min_tf
+        keys, counts = keys[keep], counts[keep]
+    if cfg.keep_dat:
+        save_dat(keys, counts, cfg.k, cfg.prefix + ".dat")
+    index = Sparse23Index.from_spectrum(keys, counts, cfg.k)
+    index.save(cfg.prefix)
+    logger.info("build_sparse: n=%d (%.2fs)", index.n, time.time() - t0)
+    return index
+
+
+def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIndex:
+    """Phase 3: positional index -> .index.bin + .indices.bin."""
+    t0 = time.time()
+    if isinstance(index, Dense13Index):
+        pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk)
+    else:
+        pos = PositionalIndex.build_sparse23(store.blob, index, chunk=cfg.chunk)
+    pos.save(cfg.prefix)
+    logger.info("build_positional: %d positions (%.2fs)", pos.total,
+                time.time() - t0)
+    return pos
+
+
+def build_all(inputs: list[str], cfg: BuildConfig,
+              read_type: str | None = None) -> dict:
+    """The full pipeline (CLI `compute-aindex` equivalent,
+    scripts/compute_aindex.py in the reference)."""
+    out_dir = os.path.dirname(cfg.prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    store = prepare_reads(inputs, read_type, cfg.prefix)
+    if cfg.k == K13:
+        index = build_dense13(store, cfg)
+    else:
+        index = build_sparse(store, cfg)
+    artifacts = {
+        "reads": cfg.prefix + ".reads",
+        "ridx": cfg.prefix + ".ridx",
+        "tf": cfg.prefix + ".tf.bin",
+    }
+    if cfg.k != K13:
+        artifacts["pf"] = cfg.prefix + ".pf"
+        artifacts["kmers"] = cfg.prefix + ".kmers.bin"
+    if cfg.build_aindex:
+        build_positional(store, index, cfg)
+        artifacts["index"] = cfg.prefix + ".index.bin"
+        artifacts["indices"] = cfg.prefix + ".indices.bin"
+    return artifacts
