@@ -106,12 +106,16 @@ class MPHF:
         return cls(int(n), int(domain), int(seed), g_packed, slots)
 
     @classmethod
-    def build(cls, keys: np.ndarray, max_trials: int = 64, rng_seed: int = 37) -> "MPHF":
+    def build(cls, keys: np.ndarray, max_trials: int = 64, rng_seed: int = 37,
+              use_native: bool | None = None) -> "MPHF":
         """Construct over a set of distinct uint64 keys.
 
         Seed-trial loop as in the reference (deterministic base rng seed,
         /root/reference/src/emphf/mphf.hpp:45); each trial attempts a full
-        round-synchronous peel.
+        peel — in the native C++ peeler when available (sequential XOR-trick
+        stack walk), else the vectorised round-synchronous numpy peel. Both
+        use the same hash triple, so the resulting MPHF is loadable either
+        way.
         """
         keys = np.asarray(keys, dtype=np.uint64)
         n = len(keys)
@@ -119,15 +123,42 @@ class MPHF:
             return cls(0, 1, 0, np.full(1, 0xFFFFFFFF, np.uint32), np.zeros(3, np.int32))
         if len(np.unique(keys)) != n:
             raise ValueError("MPHF keys must be distinct")
+        if use_native is None or use_native:
+            from aindex_tpu import native as native_mod
+            native_ok = native_mod.available()
+            if use_native and not native_ok:
+                raise RuntimeError("native MPHF peeler requested but unavailable")
+        else:
+            native_ok = False
         domain = max(1, int(np.ceil(np.ceil(_GAMMA * n) / 3.0)))
         rng = np.random.default_rng(rng_seed)
         for _ in range(max_trials):
             seed = int(rng.integers(0, 2**63, dtype=np.int64))
-            result = cls._try_build(keys, n, domain, seed)
+            if native_ok:
+                g = native_mod.mphf_try_build(keys, seed, domain)
+                result = None if g is None else cls._from_g(n, domain, seed, g)
+            else:
+                result = cls._try_build(keys, n, domain, seed)
             if result is not None:
                 return result
             domain = int(domain * 1.05) + 1  # grow slightly on failure
         raise RuntimeError(f"MPHF peeling failed after {max_trials} trials (n={n})")
+
+    @classmethod
+    def _from_g(cls, n: int, domain: int, seed: int, g: np.ndarray) -> "MPHF":
+        """Finish construction from peeler output: rank the assigned nodes
+        into slot ids and pack g 16 values per uint32 word."""
+        n_nodes = 3 * domain
+        assigned = g != 3
+        slots = np.zeros(n_nodes, dtype=np.int32)
+        slots[assigned] = np.arange(n, dtype=np.int32)
+        n_words = (n_nodes + 15) // 16
+        gp = np.full(n_words * 16, 3, dtype=np.uint32)
+        gp[:n_nodes] = g
+        gp = gp.reshape(-1, 16)
+        shifts = (np.arange(16, dtype=np.uint32) * 2)
+        g_packed = np.bitwise_or.reduce(gp << shifts, axis=1).astype(np.uint32)
+        return cls(n, domain, seed, g_packed, slots)
 
     @classmethod
     def _try_build(cls, keys, n, domain, seed):
@@ -184,16 +215,4 @@ class MPHF:
             v_free = g[free_nodes].astype(np.int64)  # currently 3
             g[free_nodes] = ((j - (vsum - v_free)) % 3).astype(np.uint8)
 
-        assigned = g != 3
-        slots = np.zeros(n_nodes, dtype=np.int32)
-        slots[assigned] = np.arange(n, dtype=np.int32)
-
-        # pack g 16 values per uint32 word
-        n_words = (n_nodes + 15) // 16
-        gp = np.full(n_words * 16, 3, dtype=np.uint32)
-        gp[:n_nodes] = g
-        gp = gp.reshape(-1, 16)
-        shifts = (np.arange(16, dtype=np.uint32) * 2)
-        g_packed = np.bitwise_or.reduce(gp << shifts, axis=1).astype(np.uint32)
-
-        return cls(n, domain, seed, g_packed, slots)
+        return cls._from_g(n, domain, seed, g)

@@ -72,7 +72,7 @@ def read_sequences(path: str, fmt: str | None = None) -> list[str]:
 
 
 def compute_reads(input1: str, input2: str | None, read_type: str,
-                  output_prefix: str) -> dict:
+                  output_prefix: str, use_native: bool | None = None) -> dict:
     """FASTQ(PE/SE)/FASTA/plain -> <prefix>.reads + .ridx (+ .header).
 
     Semantics of /root/reference/src/compute_reads.cpp:
@@ -91,6 +91,18 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
     reads_path = output_prefix + ".reads"
     ridx_path = output_prefix + ".ridx"
     header_path = output_prefix + ".header"
+
+    if use_native is not False:
+        from aindex_tpu import native as native_mod
+        n = native_mod.compute_reads_native(input1, input2, read_type,
+                                            output_prefix)
+        if n is not None:
+            result = {"reads": reads_path, "ridx": ridx_path, "n_reads": n}
+            if read_type == "fasta":
+                result["header"] = header_path
+            return result
+        if use_native:
+            raise RuntimeError("native compute_reads requested but unavailable")
 
     n_reads = 0
     start = 0

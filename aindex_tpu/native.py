@@ -1,0 +1,155 @@
+"""ctypes bridge to the native host runtime (native/libaindex_host.so).
+
+The native library owns the serial/file-I/O phases (reads preparation, MPHF
+peeling, newline scans) — the role C++ plays below the Python line in the
+reference (SURVEY.md §2). Every entry point has a pure-Python fallback, so
+the package works without the library; ``ensure_built()`` compiles it on
+demand with g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libaindex_host.so")
+
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.mphf_try_build.restype = ctypes.c_int32
+    lib.mphf_try_build.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.compute_reads_fastq.restype = ctypes.c_int64
+    lib.compute_reads_fastq.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_char_p]
+    lib.compute_reads_fasta.restype = ctypes.c_int64
+    lib.compute_reads_fasta.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.compute_reads_plain.restype = ctypes.c_int64
+    lib.compute_reads_plain.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_int32]
+    lib.scan_newlines.restype = ctypes.c_int64
+    lib.scan_newlines.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Compile the native library if missing. Returns True when usable."""
+    global _load_failed
+    if os.path.exists(_SO_PATH) and not force:
+        return True
+    src = os.path.join(_NATIVE_DIR, "aindex_host.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
+             "-shared", "-o", _SO_PATH, src],
+            check=True, capture_output=True, timeout=300)
+        _load_failed = False
+        return True
+    except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired) as e:
+        logger.warning("native build failed: %s", e)
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded native library, building it on first use; None on failure."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed:
+        return None
+    if not os.path.exists(_SO_PATH) and not ensure_built():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        _configure(lib)
+        _lib = lib
+        return lib
+    except OSError as e:
+        logger.warning("native load failed: %s", e)
+        _load_failed = True
+        return None
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def mphf_try_build(keys: np.ndarray, seed: int, domain: int) -> np.ndarray | None:
+    """One seed trial of hypergraph peeling. Returns g (uint8[3*domain],
+    value 3 = unassigned) or None if the trial failed to peel."""
+    lib = get_lib()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    g = np.empty(3 * domain, dtype=np.uint8)
+    ok = lib.mphf_try_build(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(keys)), ctypes.c_uint64(seed),
+        ctypes.c_uint64(domain),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return g if ok else None
+
+
+def compute_reads_native(input1: str, input2: str | None, read_type: str,
+                         output_prefix: str) -> int | None:
+    """Native reads preparation; returns n_reads or None when unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if read_type == "fastq":
+        if not input2:
+            return None
+        n = lib.compute_reads_fastq(input1.encode(), input2.encode(),
+                                    output_prefix.encode())
+    elif read_type == "se":
+        n = lib.compute_reads_fastq(input1.encode(), None,
+                                    output_prefix.encode())
+    elif read_type == "fasta":
+        n = lib.compute_reads_fasta(input1.encode(), output_prefix.encode())
+    elif read_type == "reads":
+        copy = int(os.path.abspath(input1)
+                   != os.path.abspath(output_prefix + ".reads"))
+        n = lib.compute_reads_plain(input1.encode(), output_prefix.encode(),
+                                    copy)
+    else:
+        return None
+    return int(n) if n >= 0 else None
+
+
+def scan_newlines_native(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    cap = int(np.count_nonzero(blob == ord("\n"))) + 1
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    n = lib.scan_newlines(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(blob.size),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return starts[:n], ends[:n]

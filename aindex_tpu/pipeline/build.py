@@ -72,9 +72,13 @@ def save_dat(keys: np.ndarray, counts: np.ndarray, k: int, path: str) -> None:
     """Text spectrum 'kmer\\ttf' sorted by tf desc — the reference counter's
     output format (/root/reference/src/count_kmers.cpp:362-382)."""
     order = np.argsort(counts, kind="stable")[::-1]
+    keys, counts = keys[order], counts[order]
     with open(path, "w") as f:
-        for i in order:
-            f.write(f"{codec.decode_kmer(int(keys[i]), k)}\t{int(counts[i])}\n")
+        block = 1 << 16
+        for start in range(0, len(keys), block):
+            kmers = codec.decode_kmers(keys[start:start + block], k)
+            tfs = counts[start:start + block]
+            f.write("".join(f"{km}\t{int(tf)}\n" for km, tf in zip(kmers, tfs)))
 
 
 def build_dense13(store: ReadsStore, cfg: BuildConfig) -> Dense13Index:

@@ -1,0 +1,311 @@
+// aindex_host: native host-side runtime for aindex-tpu.
+//
+// The TPU owns all data-parallel compute (counting, gathers, coverage); this
+// library owns the inherently-serial / file-I/O phases the reference
+// implements as C++ binaries (SURVEY.md §2.2-2.3):
+//
+//   * reads preparation: FASTQ/FASTA/plain -> .reads blob + .ridx offsets
+//     (role of compute_reads, /root/reference/src/compute_reads.cpp — fresh
+//     implementation: single buffered pass, no line-length limits)
+//   * newline index scan over an existing blob (role of READS::INDEXER,
+//     /root/reference/src/read.hpp:884-954)
+//   * MPHF hypergraph peeling (role of emphf's hypergraph_sorter_seq,
+//     /root/reference/src/emphf/hypergraph_sorter_seq.hpp:29-102 — same
+//     3-partite XOR-trick algorithm family [BDZ/emphf, public], written
+//     from scratch against a Murmur-style mixer that is bit-identical to
+//     the JAX/numpy twin in aindex_tpu.index.mphf)
+//
+// C ABI only (loaded via ctypes).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// MPHF peeling
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mix64(uint64_t x) {
+  // Murmur3 fmix64 finaliser (public constants), matching
+  // aindex_tpu/index/mphf.py:_mix64 bit for bit.
+  x ^= x >> 33;
+  x *= 0xFF51AFD7ED558CCDULL;
+  x ^= x >> 33;
+  x *= 0xC4CEB9FE1A85EC53ULL;
+  x ^= x >> 33;
+  return x;
+}
+
+static const uint64_t C1 = 0x9E3779B97F4A7C15ULL;
+static const uint64_t C2 = 0x165667B19E3779F9ULL;
+
+// Attempt one seed trial of the 3-partite hypergraph peeling.
+//
+// keys:   n distinct uint64 keys
+// domain: nodes per partition (3*domain nodes total)
+// g_out:  uint8[3*domain]; on success holds g-values (3 = unassigned)
+// returns 1 on success (fully peelable), 0 on failure.
+int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
+                       uint64_t domain, uint8_t* g_out) {
+  const int64_t n_nodes = 3 * (int64_t)domain;
+
+  std::vector<uint32_t> deg(n_nodes, 0);
+  std::vector<int64_t> xor_edge(n_nodes, 0);
+  std::vector<int64_t> enodes(3 * (size_t)n);
+
+  for (int64_t e = 0; e < n; ++e) {
+    uint64_t h = mix64(keys[e] ^ seed);
+    uint64_t h0 = h % domain;
+    uint64_t h1 = mix64(h ^ C1) % domain + domain;
+    uint64_t h2 = mix64(h + C2) % domain + 2 * domain;
+    enodes[3 * e] = (int64_t)h0;
+    enodes[3 * e + 1] = (int64_t)h1;
+    enodes[3 * e + 2] = (int64_t)h2;
+    deg[h0]++; deg[h1]++; deg[h2]++;
+    xor_edge[h0] ^= e; xor_edge[h1] ^= e; xor_edge[h2] ^= e;
+  }
+
+  // Peel: stack of degree-1 nodes; record (edge, free_node) order.
+  std::vector<int64_t> stack;
+  stack.reserve(n_nodes / 2);
+  for (int64_t v = 0; v < n_nodes; ++v)
+    if (deg[v] == 1) stack.push_back(v);
+
+  std::vector<int64_t> peel_edge(n), peel_node(n);
+  int64_t n_peeled = 0;
+  while (!stack.empty()) {
+    int64_t v = stack.back();
+    stack.pop_back();
+    if (deg[v] != 1) continue;  // stale entry
+    int64_t e = xor_edge[v];
+    peel_edge[n_peeled] = e;
+    peel_node[n_peeled] = v;
+    ++n_peeled;
+    for (int j = 0; j < 3; ++j) {
+      int64_t u = enodes[3 * e + j];
+      deg[u]--;
+      xor_edge[u] ^= e;
+      if (deg[u] == 1) stack.push_back(u);
+    }
+  }
+  if (n_peeled != n) return 0;
+
+  // Reverse-order assignment: for each peeled edge, set the free node's
+  // g so that (g[v0]+g[v1]+g[v2]) % 3 == index-of-free-node-in-edge.
+  memset(g_out, 3, (size_t)n_nodes);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    int64_t e = peel_edge[i];
+    int64_t v = peel_node[i];
+    int64_t sum = 0;
+    int32_t j = 0;
+    for (int t = 0; t < 3; ++t) {
+      int64_t u = enodes[3 * e + t];
+      if (u == v) j = t;
+      else if (g_out[u] != 3) sum += g_out[u];
+    }
+    g_out[v] = (uint8_t)(((j - sum) % 3 + 3) % 3);
+  }
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// reads preparation
+// ---------------------------------------------------------------------------
+
+static inline char comp_base(char c) {
+  switch (c) {
+    case 'A': return 'T'; case 'T': return 'A';
+    case 'C': return 'G'; case 'G': return 'C';
+    case 'a': return 't'; case 't': return 'a';
+    case 'c': return 'g'; case 'g': return 'c';
+    default:  return c;  // N etc.
+  }
+}
+
+namespace {
+
+struct LineReader {
+  FILE* f;
+  std::vector<char> buf;
+  explicit LineReader(FILE* f_) : f(f_) { buf.reserve(1 << 12); }
+  // Read one line (without trailing newline) into buf; false on EOF.
+  bool next() {
+    buf.clear();
+    int c;
+    while ((c = getc_unlocked(f)) != EOF) {
+      if (c == '\n') return true;
+      buf.push_back((char)c);
+    }
+    return !buf.empty();
+  }
+};
+
+struct RidxWriter {
+  FILE* f;
+  int64_t rid = 0, start = 0;
+  void record(int64_t len) {
+    fprintf(f, "%lld\t%lld\t%lld\n", (long long)rid, (long long)start,
+            (long long)(start + len));
+    start += len + 1;  // +1 for the newline separator
+    ++rid;
+  }
+};
+
+}  // namespace
+
+// FASTQ (paired) -> .reads (+.ridx): each pair becomes r1 + '~' + revcomp(r2)
+// on one line (semantics of /root/reference/src/compute_reads.cpp:89-96).
+// in2 == NULL -> single-end. Returns number of reads, or -1 on error.
+int64_t compute_reads_fastq(const char* in1, const char* in2,
+                            const char* out_prefix) {
+  FILE* f1 = fopen(in1, "rb");
+  if (!f1) return -1;
+  FILE* f2 = in2 ? fopen(in2, "rb") : nullptr;
+  if (in2 && !f2) { fclose(f1); return -1; }
+
+  std::string reads_path = std::string(out_prefix) + ".reads";
+  std::string ridx_path = std::string(out_prefix) + ".ridx";
+  FILE* fr = fopen(reads_path.c_str(), "wb");
+  FILE* fx = fopen(ridx_path.c_str(), "wb");
+  if (!fr || !fx) { if (fr) fclose(fr); if (fx) fclose(fx);
+                    fclose(f1); if (f2) fclose(f2); return -1; }
+
+  LineReader r1(f1);
+  RidxWriter ridx{fx};
+  std::vector<char> rc;
+  if (f2) {
+    LineReader r2(f2);
+    while (true) {
+      // record = header / seq / + / qual
+      if (!r1.next()) break;
+      if (!r1.next()) break;
+      std::vector<char> s1 = r1.buf;
+      r1.next(); r1.next();
+      if (!r2.next()) break;
+      if (!r2.next()) break;
+      std::vector<char> s2 = r2.buf;
+      r2.next(); r2.next();
+
+      rc.resize(s2.size());
+      for (size_t i = 0; i < s2.size(); ++i)
+        rc[i] = comp_base(s2[s2.size() - 1 - i]);
+
+      fwrite(s1.data(), 1, s1.size(), fr);
+      putc_unlocked('~', fr);
+      fwrite(rc.data(), 1, rc.size(), fr);
+      putc_unlocked('\n', fr);
+      ridx.record((int64_t)(s1.size() + 1 + rc.size()));
+    }
+    fclose(f2);
+  } else {
+    while (true) {
+      if (!r1.next()) break;
+      if (!r1.next()) break;
+      fwrite(r1.buf.data(), 1, r1.buf.size(), fr);
+      putc_unlocked('\n', fr);
+      ridx.record((int64_t)r1.buf.size());
+      r1.next(); r1.next();
+    }
+  }
+  fclose(f1); fclose(fr); fclose(fx);
+  return ridx.rid;
+}
+
+// FASTA -> .reads (+.ridx, .header). Multi-line records are concatenated
+// (semantics of /root/reference/src/compute_reads.cpp:170-217).
+int64_t compute_reads_fasta(const char* in, const char* out_prefix) {
+  FILE* f = fopen(in, "rb");
+  if (!f) return -1;
+  std::string reads_path = std::string(out_prefix) + ".reads";
+  std::string ridx_path = std::string(out_prefix) + ".ridx";
+  std::string head_path = std::string(out_prefix) + ".header";
+  FILE* fr = fopen(reads_path.c_str(), "wb");
+  FILE* fx = fopen(ridx_path.c_str(), "wb");
+  FILE* fh = fopen(head_path.c_str(), "wb");
+  if (!fr || !fx || !fh) { if (fr) fclose(fr); if (fx) fclose(fx);
+                           if (fh) fclose(fh); fclose(f); return -1; }
+
+  LineReader lr(f);
+  RidxWriter ridx{fx};
+  std::string header;
+  std::vector<char> seq;
+  bool have = false;
+  auto flush = [&]() {
+    if (!have) return;
+    fprintf(fh, "%s\t%lld\t%lld\n", header.c_str(), (long long)ridx.start,
+            (long long)seq.size());
+    fwrite(seq.data(), 1, seq.size(), fr);
+    putc_unlocked('\n', fr);
+    ridx.record((int64_t)seq.size());
+    seq.clear();
+  };
+  while (lr.next()) {
+    if (!lr.buf.empty() && lr.buf[0] == '>') {
+      flush();
+      header.assign(lr.buf.begin() + 1, lr.buf.end());
+      have = true;
+    } else {
+      seq.insert(seq.end(), lr.buf.begin(), lr.buf.end());
+    }
+  }
+  flush();
+  fclose(f); fclose(fr); fclose(fx); fclose(fh);
+  return ridx.rid;
+}
+
+// Plain reads file -> .ridx (and optional copy). Returns n_reads.
+int64_t compute_reads_plain(const char* in, const char* out_prefix,
+                            int32_t copy) {
+  FILE* f = fopen(in, "rb");
+  if (!f) return -1;
+  std::string ridx_path = std::string(out_prefix) + ".ridx";
+  FILE* fx = fopen(ridx_path.c_str(), "wb");
+  FILE* fr = nullptr;
+  if (copy) {
+    std::string reads_path = std::string(out_prefix) + ".reads";
+    fr = fopen(reads_path.c_str(), "wb");
+    if (!fr) { fclose(f); fclose(fx); return -1; }
+  }
+  if (!fx) { fclose(f); if (fr) fclose(fr); return -1; }
+  LineReader lr(f);
+  RidxWriter ridx{fx};
+  while (lr.next()) {
+    if (fr) {
+      fwrite(lr.buf.data(), 1, lr.buf.size(), fr);
+      putc_unlocked('\n', fr);
+    }
+    ridx.record((int64_t)lr.buf.size());
+  }
+  fclose(f); fclose(fx); if (fr) fclose(fr);
+  return ridx.rid;
+}
+
+// Newline scan of a memory blob: fills starts/ends (caller-allocated,
+// capacity max_reads). Returns number of reads found (lines), or -1 if
+// capacity is insufficient.
+int64_t scan_newlines(const uint8_t* blob, int64_t size, int64_t* starts,
+                      int64_t* ends, int64_t max_reads) {
+  int64_t n = 0, start = 0;
+  const uint8_t* p = blob;
+  const uint8_t* end = blob + size;
+  while (p < end) {
+    const uint8_t* nl = (const uint8_t*)memchr(p, '\n', (size_t)(end - p));
+    int64_t stop = nl ? (int64_t)(nl - blob) : size;
+    if (n >= max_reads) return -1;
+    starts[n] = start;
+    ends[n] = stop;
+    ++n;
+    if (!nl) break;
+    start = stop + 1;
+    p = blob + start;
+  }
+  return n;
+}
+
+}  // extern "C"
