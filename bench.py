@@ -29,13 +29,14 @@ def main():
     import jax.numpy as jnp
 
     from aindex_tpu.constants import SPACE_13
-    from aindex_tpu.index.dense13 import _build_total_table
+    from aindex_tpu.index.dense13 import Dense13Index
 
     rng = np.random.default_rng(42)
 
     tf = jnp.asarray(rng.integers(0, 50, size=SPACE_13, dtype=np.int64)
                      .astype(np.uint32))
-    tf_total = _build_total_table(tf)
+    # the engine's own query table (fused fwd+rc, minimal exact width)
+    tf_total = Dense13Index(tf).tf_total
 
     batch = 1 << 22  # 4M queries per call
 
