@@ -423,6 +423,18 @@ class AIndex:
             return [int(v) for v in self.sparse23.sequence_coverage(seq, cutoff)]
         return [0] * max(0, len(seq) - k + 1)
 
+    def get_sequence_coverage_batch(self, seqs: List[str], cutoff: int = 0,
+                                    k: int = 23) -> List[List[int]]:
+        """Coverage profiles for many sequences — the high-throughput path
+        (length-bucketed device batches)."""
+        if k == K13 and self.dense13 is not None:
+            covs = self.dense13.sequence_coverage_batch(seqs, cutoff)
+        elif self.sparse23 is not None and k == self.sparse23.k:
+            covs = self.sparse23.sequence_coverage_batch(seqs, cutoff)
+        else:
+            return [[0] * max(0, len(s) - k + 1) for s in seqs]
+        return [[int(v) for v in c] for c in covs]
+
     def print_sequence_coverage(self, seq: str, cutoff: int = 0) -> List[int]:
         coverage = self.get_sequence_coverage(seq, cutoff)
         for i, tf in enumerate(coverage):
@@ -454,8 +466,12 @@ class AIndex:
             idx = idx[order]
             if max_kmers is not None:
                 idx = idx[:max_kmers]
-            for code, count in zip(idx, tf[idx]):
-                yield codec.decode_kmer(int(code), K13), int(count)
+            block = 1 << 16
+            for start in range(0, len(idx), block):
+                codes = idx[start:start + block]
+                kmers = codec.decode_kmers(codes.astype(np.uint64), K13)
+                for kmer, count in zip(kmers, tf[codes]):
+                    yield kmer, int(count)
         elif kmer_type == "23mer":
             self._require(self.sparse23, "23-mer index")
             tf = self.sparse23.tf_host

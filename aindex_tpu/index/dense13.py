@@ -182,6 +182,11 @@ class Dense13Index:
         (aindex/core/aindex.py:314-322 with 13-mer dispatch)."""
         return cov_kernels.coverage_dense(self.tf_query, seq, K13, cutoff)
 
+    def sequence_coverage_batch(self, seqs: list[str], cutoff: int = 0
+                                ) -> list[np.ndarray]:
+        """Coverage for many sequences in few device calls (length-bucketed)."""
+        return cov_kernels.coverage_dense_batch(self.tf_query, seqs, K13, cutoff)
+
     def stats(self) -> dict:
         """total/non_zero/max/total_count (get_13mer_statistics,
         /root/reference/src/python_wrapper.cpp:1038-1068)."""

@@ -235,6 +235,33 @@ class Sparse23Index:
             jnp.uint32(cutoff), self.k)
         return np.asarray(out)
 
+    def sequence_coverage_batch(self, seqs: list[str], cutoff: int = 0
+                                ) -> list[np.ndarray]:
+        """Coverage for many sequences in few device calls (length-bucketed)."""
+        out = [None] * len(seqs)
+        buckets = {}
+        for i, s in enumerate(seqs):
+            if len(s) < self.k:
+                out[i] = np.zeros(0, dtype=np.uint32)
+            else:
+                buckets.setdefault(cov_kernels._length_bucket(len(s), self.k),
+                                   []).append(i)
+        for blen, members in buckets.items():
+            rows = 8
+            while rows < len(members):
+                rows <<= 1
+            mat = np.full((rows, blen), ord("\n"), dtype=np.uint8)
+            for row, i in enumerate(members):
+                enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+                mat[row, :len(enc)] = enc
+            cov = np.asarray(cov_kernels.coverage_sparse_kernel(
+                self.g_packed, self.slots, self.checker, self.tf,
+                self.seed, self.domain, jnp.asarray(mat),
+                jnp.uint32(cutoff), self.k))
+            for row, i in enumerate(members):
+                out[i] = cov[row, :len(seqs[i]) - self.k + 1]
+        return out
+
     # -- De Bruijn continuation queries ------------------------------------
 
     def debruijn_next(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:

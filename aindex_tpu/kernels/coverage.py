@@ -38,6 +38,45 @@ def coverage_dense(table: jax.Array, seq: str, k: int, cutoff: int = 0) -> np.nd
     return np.asarray(out)
 
 
+def _length_bucket(n: int, k: int) -> int:
+    """Pad length to a power-of-2 bucket (>=128) so jit caches stay small."""
+    b = 128
+    while b < n:
+        b <<= 1
+    return max(b, k)
+
+
+def coverage_dense_batch(table: jax.Array, seqs: list[str], k: int,
+                         cutoff: int = 0) -> list[np.ndarray]:
+    """Coverage profiles for a batch of sequences in few device calls.
+
+    Sequences are grouped into power-of-2 length buckets and padded with
+    newline bytes (invalid windows), so at most O(log max_len) program
+    shapes are ever compiled — the throughput path behind the reference's
+    "sequence coverage analysis" benchmark (BASELINE.md).
+    """
+    out: list[np.ndarray | None] = [None] * len(seqs)
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        if len(s) < k:
+            out[i] = np.zeros(0, dtype=np.uint32)
+        else:
+            buckets.setdefault(_length_bucket(len(s), k), []).append(i)
+    for blen, members in buckets.items():
+        rows = 8
+        while rows < len(members):
+            rows <<= 1
+        mat = np.full((rows, blen), ord("\n"), dtype=np.uint8)
+        for row, i in enumerate(members):
+            enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+            mat[row, :len(enc)] = enc
+        cov = np.asarray(_coverage_dense_kernel(
+            table, jnp.asarray(mat), jnp.uint32(cutoff), k))
+        for row, i in enumerate(members):
+            out[i] = cov[row, :len(seqs[i]) - k + 1]
+    return out  # type: ignore[return-value]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def coverage_sparse_kernel(g_packed: jax.Array, slots: jax.Array,
                            checker: jax.Array, tf: jax.Array,

@@ -141,3 +141,12 @@ class TestHelpers:
 
     def test_hamming(self):
         assert hamming_distance("AAAA", "AATA") == 1
+
+
+class TestBatchCoverage:
+    def test_batch_matches_single(self, idx13, idx23, reads):
+        seqs = reads[:5] + ["ACG", reads[0][:20] + "N" + reads[1]]
+        for idx, k in ((idx13, 13), (idx23, 23)):
+            batch = idx.get_sequence_coverage_batch(seqs, k=k)
+            single = [idx.get_sequence_coverage(s, k=k) for s in seqs]
+            assert batch == single
