@@ -22,7 +22,7 @@ import numpy as np
 
 from aindex_tpu.constants import SPACE_13, SUFFIX_INDEX, SUFFIX_INDICES
 from aindex_tpu.core.reads import blob_chunks
-from aindex_tpu.index.sparse23 import Sparse23Index, _extract_canonical, _query_kernel
+from aindex_tpu.index.sparse23 import Sparse23Index, _extract_canonical
 from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
 
 
@@ -87,9 +87,7 @@ class PositionalIndex:
         slot_parts, pos_parts = [], []
         for piece, off in blob_chunks(blob, k, chunk):
             canon, valid = _extract_canonical(jnp.asarray(piece), k)
-            _, slot = _query_kernel(index.g_packed, index.slots, index.checker,
-                                    index.tf, index.seed, index.domain,
-                                    canon, valid)
+            _, slot = index._query(canon, valid)
             slot_np = np.asarray(slot).astype(np.int64)
             keep = slot_np >= 0
             if keep.any():

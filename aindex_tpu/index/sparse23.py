@@ -88,10 +88,34 @@ class Sparse23Index:
         self.tf = jnp.asarray(self.tf_host)
         self.seed = jnp.uint64(mphf.seed)
         self.domain = jnp.uint64(mphf.domain)
+        self._cuckoo = None
 
     @property
     def n(self) -> int:
         return self.mphf.n
+
+    @property
+    def cuckoo(self):
+        """Device query accelerator (see aindex_tpu.index.cuckoo): verified
+        (key -> tf, slot) in two row gathers instead of the 7-gather MPHF
+        walk. Built lazily; requires keys < 2^62 (k <= 30)."""
+        if self._cuckoo is None and self.k <= 30:
+            from aindex_tpu.index.cuckoo import CuckooTable
+            self._cuckoo = CuckooTable.build(
+                self.checker_host, self.tf_host,
+                np.arange(self.n, dtype=np.int32))
+        return self._cuckoo
+
+    def _query(self, canon: np.ndarray, valid: np.ndarray):
+        """(tf, slot) device query on canonical keys; slot -1 when absent."""
+        from aindex_tpu.index.cuckoo import cuckoo_query
+        ck = self.cuckoo
+        if ck is not None:
+            return cuckoo_query(ck.device, jnp.asarray(canon),
+                                jnp.asarray(valid), ck.seed1, ck.seed2, m=ck.m)
+        return _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
+                             self.seed, self.domain,
+                             jnp.asarray(canon), jnp.asarray(valid))
 
     # -- construction --------------------------------------------------
 
@@ -160,9 +184,7 @@ class Sparse23Index:
         canonical form + checker verification."""
         codes, valid = self._encode(kmers)
         canon = codec.canonical_code(codes, self.k)
-        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
-                              self.seed, self.domain,
-                              jnp.asarray(canon), jnp.asarray(valid))
+        tf, _ = self._query(canon, valid)
         return np.asarray(tf)
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -174,9 +196,7 @@ class Sparse23Index:
         codes, valid = self._encode(kmers)
         rc = codec.revcomp_code(codes, self.k)
         canon = np.minimum(codes, rc)
-        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
-                              self.seed, self.domain,
-                              jnp.asarray(canon), jnp.asarray(valid))
+        tf, _ = self._query(canon, valid)
         tf = np.asarray(tf)
         is_fwd = codes <= rc
         return np.where(is_fwd, tf, 0).astype(tf.dtype), np.where(is_fwd, 0, tf).astype(tf.dtype)
@@ -186,9 +206,7 @@ class Sparse23Index:
         (get_pfid, /root/reference/src/hash.hpp:150-170)."""
         codes, valid = self._encode(kmers)
         canon = codec.canonical_code(codes, self.k)
-        _, slot = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
-                                self.seed, self.domain,
-                                jnp.asarray(canon), jnp.asarray(valid))
+        _, slot = self._query(canon, valid)
         slot = np.asarray(slot).astype(np.int64)
         return np.where(slot < 0, self.n, slot)
 
@@ -204,9 +222,7 @@ class Sparse23Index:
         codes, valid = self._encode(kmers)
         rc = codec.revcomp_code(codes, self.k)
         canon = np.minimum(codes, rc)
-        tf, slot = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
-                                 self.seed, self.domain,
-                                 jnp.asarray(canon), jnp.asarray(valid))
+        tf, slot = self._query(canon, valid)
         found = np.asarray(slot) >= 0
         is_fwd = codes <= rc
         return np.where(found, np.where(is_fwd, 1, 2), 0).astype(np.int32)
@@ -229,11 +245,19 @@ class Sparse23Index:
         ascii_u8 = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
         if ascii_u8.size < self.k:
             return np.zeros(0, dtype=np.uint32)
-        out = cov_kernels.coverage_sparse_kernel(
-            self.g_packed, self.slots, self.checker, self.tf,
-            self.seed, self.domain, jnp.asarray(ascii_u8),
-            jnp.uint32(cutoff), self.k)
-        return np.asarray(out)
+        return self._coverage_ascii(ascii_u8[None, :], cutoff)[0]
+
+    def _coverage_ascii(self, mat: np.ndarray, cutoff: int) -> np.ndarray:
+        """Coverage over [B, L] ASCII rows: windows -> canonical -> verified
+        query -> cutoff (batched analogue of get_sequence_coverage over
+        get_tf_value, /root/reference/src/hash.hpp:123-140)."""
+        canon, valid = _extract_canonical(jnp.asarray(mat), self.k)
+        shape = canon.shape
+        tf, _ = self._query(canon.reshape(-1), valid.reshape(-1))
+        tf = tf.reshape(shape)
+        if cutoff:
+            tf = jnp.where(tf >= jnp.uint32(cutoff), tf, jnp.zeros((), tf.dtype))
+        return np.asarray(tf)
 
     def sequence_coverage_batch(self, seqs: list[str], cutoff: int = 0
                                 ) -> list[np.ndarray]:
@@ -254,10 +278,7 @@ class Sparse23Index:
             for row, i in enumerate(members):
                 enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
                 mat[row, :len(enc)] = enc
-            cov = np.asarray(cov_kernels.coverage_sparse_kernel(
-                self.g_packed, self.slots, self.checker, self.tf,
-                self.seed, self.domain, jnp.asarray(mat),
-                jnp.uint32(cutoff), self.k))
+            cov = self._coverage_ascii(mat, cutoff)
             for row, i in enumerate(members):
                 out[i] = cov[row, :len(seqs[i]) - self.k + 1]
         return out
@@ -284,9 +305,7 @@ class Sparse23Index:
     def _ext_tf(self, ext_codes: np.ndarray, cutoff: int) -> np.ndarray:
         canon = codec.canonical_code(ext_codes.reshape(-1), self.k)
         valid = np.ones(canon.shape, dtype=bool)
-        tf, _ = _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
-                              self.seed, self.domain,
-                              jnp.asarray(canon), jnp.asarray(valid))
+        tf, _ = self._query(canon, valid)
         tf = np.asarray(tf).reshape(ext_codes.shape)
         if cutoff > 0:
             tf = np.where(tf <= cutoff, 0, tf)

@@ -44,6 +44,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64]
+    lib.cuckoo_build.restype = ctypes.c_int32
+    lib.cuckoo_build.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32)]
 
 
 def ensure_built(force: bool = False) -> bool:
@@ -134,6 +139,26 @@ def compute_reads_native(input1: str, input2: str | None, read_type: str,
     else:
         return None
     return int(n) if n >= 0 else None
+
+
+def cuckoo_build(keys: np.ndarray, tf: np.ndarray, slot: np.ndarray,
+                 m: int, seed1: int, seed2: int) -> np.ndarray | None:
+    """Native cuckoo insertion; returns uint32[2m, 4] table or None on
+    eviction-cycle failure (caller reseeds/grows)."""
+    lib = get_lib()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    tf = np.ascontiguousarray(tf, dtype=np.uint32)
+    slot = np.ascontiguousarray(slot, dtype=np.int32)
+    table = np.empty((2 * m, 4), dtype=np.uint32)
+    ok = lib.cuckoo_build(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(keys)), ctypes.c_uint64(m),
+        ctypes.c_uint64(seed1), ctypes.c_uint64(seed2),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return table if ok else None
 
 
 def scan_newlines_native(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:

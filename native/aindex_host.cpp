@@ -114,6 +114,60 @@ int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
   return 1;
 }
 
+// Cuckoo hash table build (2-table, random-walk eviction).
+//
+// Query-time accelerator for the sparse k-mer index: the device answers a
+// verified (key -> tf, slot) lookup with exactly two 16-byte row gathers
+// instead of the MPHF walk's seven element gathers. Layout: table[2m][4]
+// uint32 rows = (key_lo, key_hi, tf, slot); half 0 = rows [0, m), half 1 =
+// rows [m, 2m); empty marker key_hi = 0xFFFFFFFF (keys are < 2^62).
+//
+// Returns 1 on success, 0 if an insertion path exceeded max_kicks (caller
+// retries with new seeds or a larger m).
+int32_t cuckoo_build(const uint64_t* keys, const uint32_t* tf,
+                     const int32_t* slot, int64_t n, uint64_t m,
+                     uint64_t seed1, uint64_t seed2, uint32_t* table) {
+  const uint64_t mask = m - 1;  // m is a power of two
+  for (uint64_t r = 0; r < 2 * m; ++r) {
+    table[r * 4 + 0] = 0;
+    table[r * 4 + 1] = 0xFFFFFFFFu;
+    table[r * 4 + 2] = 0;
+    table[r * 4 + 3] = 0;
+  }
+  const int max_kicks = 512;
+  uint64_t rng = seed1 ^ 0x9E3779B97F4A7C15ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t key = keys[i];
+    uint32_t e0 = (uint32_t)(key & 0xFFFFFFFFULL);
+    uint32_t e1 = (uint32_t)(key >> 32);
+    uint32_t e2 = tf[i];
+    uint32_t e3 = (uint32_t)slot[i];
+    int half = 0;
+    int kicks = 0;
+    for (;;) {
+      uint64_t k64 = ((uint64_t)e1 << 32) | e0;
+      uint64_t h = half == 0 ? mix64(k64 ^ seed1) : mix64(k64 ^ seed2);
+      uint64_t row = (h & mask) + (half ? m : 0);
+      uint32_t* cell = table + row * 4;
+      if (cell[1] == 0xFFFFFFFFu) {
+        cell[0] = e0; cell[1] = e1; cell[2] = e2; cell[3] = e3;
+        break;
+      }
+      // evict the occupant, place ours, continue with the evictee
+      uint32_t t0 = cell[0], t1 = cell[1], t2 = cell[2], t3 = cell[3];
+      cell[0] = e0; cell[1] = e1; cell[2] = e2; cell[3] = e3;
+      e0 = t0; e1 = t1; e2 = t2; e3 = t3;
+      // evictee came from `half`; try its other half next
+      half ^= 1;
+      if (++kicks > max_kicks) return 0;
+      // occasional random restart of half choice to break rare cycles
+      rng = mix64(rng);
+      if ((kicks & 63) == 0 && (rng & 1)) half ^= 1;
+    }
+  }
+  return 1;
+}
+
 // ---------------------------------------------------------------------------
 // reads preparation
 // ---------------------------------------------------------------------------

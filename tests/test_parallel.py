@@ -82,3 +82,25 @@ def test_2d_mesh_count_and_query(reads, eight_devices):
     kmers = sorted(golden)[:100]
     assert [int(v) for v in sharded.get_tf_values(kmers)] == \
         [golden[km] for km in kmers]
+
+
+class TestDistributedHelpers:
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from aindex_tpu.parallel import distributed
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        distributed.initialize()  # must not raise or hang
+
+    def test_global_mesh(self, eight_devices):
+        from aindex_tpu.parallel import distributed
+        mesh = distributed.global_mesh(n_index=2)
+        assert mesh.shape["data"] * mesh.shape["index"] == len(jax.devices())
+        with pytest.raises(ValueError):
+            distributed.global_mesh(n_index=3)
+
+    def test_host_read_slice_covers_all(self):
+        from aindex_tpu.parallel import distributed
+        sl = distributed.host_read_slice(10)
+        assert sl == slice(0, 10)  # single process owns everything

@@ -154,3 +154,38 @@ class TestPersistence:
         kmers = sorted(golden)[:50]
         assert list(again.get_tf_values(kmers)) == list(index.get_tf_values(kmers))
         assert (again.checker_host == index.checker_host).all()
+
+
+class TestCuckoo:
+    def test_cuckoo_lookup_matches(self, built, rng):
+        """Cuckoo accelerator host lookup: exact (found, tf, slot) for all
+        present keys; absent keys not found."""
+        index, golden = built
+        ck = index.cuckoo
+        assert ck is not None
+        found, tf, slot = ck.lookup_host(index.checker_host)
+        assert found.all()
+        assert (tf == index.tf_host).all()
+        assert (slot == np.arange(index.n)).all()
+        absent = np.setdiff1d(
+            rng.integers(0, 1 << 46, size=1000).astype(np.uint64),
+            index.checker_host)
+        f2, t2, _ = ck.lookup_host(absent)
+        assert not f2.any() and not t2.any()
+
+    def test_python_fallback_build_matches_native(self, built):
+        from aindex_tpu.index.cuckoo import CuckooTable
+        from aindex_tpu import native as native_mod
+        index, _ = built
+        if not native_mod.available():
+            pytest.skip("native unavailable")
+        keys = index.checker_host[:500]
+        tf = index.tf_host[:500]
+        slot = np.arange(500, dtype=np.int32)
+        nat = CuckooTable.build(keys, tf, slot)
+        import unittest.mock as mock
+        with mock.patch.object(native_mod, "available", return_value=False):
+            py = CuckooTable.build(keys, tf, slot)
+        for t in (nat, py):
+            found, tfv, sl = t.lookup_host(keys)
+            assert found.all() and (tfv == tf).all() and (sl == slot).all()
