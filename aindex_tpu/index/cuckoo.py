@@ -31,11 +31,12 @@ _SEED2 = 0x85EBCA6B_C2B2AE35
 
 def _mix64_np(x: np.ndarray) -> np.ndarray:
     x = x.copy()
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
     return x
 
 
@@ -43,8 +44,10 @@ class CuckooTable:
     def __init__(self, table: np.ndarray, m: int, seed1: int, seed2: int):
         self.table_host = table           # uint32[2m, 4]
         self.m = m
-        self.seed1 = seed1
-        self.seed2 = seed2
+        # np.uint64, not Python int: seeds exceed int64 range, which a jitted
+        # call would otherwise overflow while parsing the argument.
+        self.seed1 = np.uint64(seed1)
+        self.seed2 = np.uint64(seed2)
         self._device: jax.Array | None = None
 
     @property

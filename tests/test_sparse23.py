@@ -173,6 +173,34 @@ class TestCuckoo:
         f2, t2, _ = ck.lookup_host(absent)
         assert not f2.any() and not t2.any()
 
+    def test_device_query_with_default_seeds(self, built):
+        """Regression: the default _SEED2 exceeds int64 range; the jitted
+        cuckoo_query must receive seeds as uint64, not Python ints (which
+        overflow JAX's argument parsing). Build with attempt-0 seeds
+        explicitly so the test does not depend on the fixture's retry path."""
+        import jax.numpy as jnp
+
+        from aindex_tpu.index import cuckoo as ck_mod
+
+        index, _ = built
+        table = None
+        m = 1
+        while m < max(1, int(np.ceil(index.n * 1.05 / 2))):
+            m <<= 1
+        while table is None:
+            table = ck_mod.CuckooTable._try_build(
+                index.checker_host, index.tf_host,
+                np.arange(index.n, dtype=np.int32), m,
+                ck_mod._SEED1, ck_mod._SEED2)
+            m <<= 1
+        ck = ck_mod.CuckooTable(table, m >> 1, ck_mod._SEED1, ck_mod._SEED2)
+        assert isinstance(ck.seed2, np.uint64)
+        tf, slot = ck_mod.cuckoo_query(
+            ck.device, jnp.asarray(index.checker_host),
+            jnp.ones(index.n, bool), ck.seed1, ck.seed2, m=ck.m)
+        assert (np.asarray(tf) == index.tf_host).all()
+        assert (np.asarray(slot) == np.arange(index.n)).all()
+
     def test_python_fallback_build_matches_native(self, built):
         from aindex_tpu.index.cuckoo import CuckooTable
         from aindex_tpu import native as native_mod
