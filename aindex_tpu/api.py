@@ -64,7 +64,9 @@ class AIndex:
         kmers_bin = f"{prefix}.kmers.bin"
         if kmer_size is None:
             if os.path.exists(tf_file) and os.path.getsize(tf_file) == SPACE_13 * 8 \
-                    and not os.path.exists(pf_file):
+                    and not os.path.exists(kmers_bin):
+                # dense 13-mer (ours has no .pf; the reference's has an emphf
+                # .pf but never a .kmers.bin — both land here)
                 kmer_size = 13
             elif all(os.path.exists(p) for p in (pf_file, tf_file, kmers_bin)):
                 kmer_size = 23
@@ -76,8 +78,27 @@ class AIndex:
                     f"Expected {tf_file} (13-mer, 512MB dense) or "
                     f"{pf_file}+{tf_file}+{kmers_bin} (23-mer).")
 
+        slot_perm = None  # reference 13-mer artifacts: MPHF slot per code
         if kmer_size == 13:
-            idx.load_13mer_index(tf_file)
+            # a reference-built dense table is in emphf-slot order and ships
+            # with the 13-mer .pf; reorder it to code order on load
+            pf_for_13 = None
+            if os.path.exists(pf_file):
+                from aindex_tpu.index.emphf import EmphfPF
+                if EmphfPF.is_emphf_file(pf_file):
+                    pf_for_13 = pf_file
+            if pf_for_13 is not None:
+                from aindex_tpu.index.emphf import (EmphfPF,
+                                                    dense_slot_permutation)
+                slot_perm = dense_slot_permutation(EmphfPF.load(pf_for_13), K13)
+                raw = np.fromfile(tf_file, dtype=np.uint64, count=SPACE_13)
+                clipped = np.minimum(raw[slot_perm],
+                                     np.iinfo(np.uint32).max).astype(np.uint32)
+                import jax.numpy as jnp
+                idx.dense13 = Dense13Index(jnp.asarray(clipped))
+                idx._loaded = True
+            else:
+                idx.load_13mer_index(tf_file)
         elif kmer_size == 23:
             idx.load_23mer_index(prefix)
             idx.max_tf = max_tf
@@ -89,6 +110,9 @@ class AIndex:
             indices_file = f"{prefix}.indices.bin"
             if os.path.exists(index_file) and os.path.exists(indices_file):
                 pos = PositionalIndex.load(index_file, indices_file)
+                if slot_perm is not None:
+                    # reference 13-mer CSR is slot-keyed; re-key by code
+                    pos = pos.reorder(slot_perm)
                 if kmer_size == 13:
                     idx.pos13 = pos
                 else:
@@ -107,10 +131,10 @@ class AIndex:
                 logger.warning("reads file not found for %s", prefix)
         return idx
 
-    def load_13mer_index(self, tf_file: str) -> None:
+    def load_13mer_index(self, tf_file: str, pf_file: str | None = None) -> None:
         if not os.path.exists(tf_file):
             raise FileNotFoundError(f"13-mer tf file not found: {tf_file}")
-        self.dense13 = Dense13Index.load(tf_file)
+        self.dense13 = Dense13Index.load(tf_file, pf_file)
         self._loaded = True
 
     def load_23mer_index(self, prefix: str) -> None:

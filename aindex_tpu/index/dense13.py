@@ -124,10 +124,20 @@ class Dense13Index:
         np.asarray(self.tf, dtype=np.uint64).tofile(tf_path)
 
     @classmethod
-    def load(cls, tf_path: str) -> "Dense13Index":
+    def load(cls, tf_path: str, pf_path: str | None = None) -> "Dense13Index":
+        """Load a dense uint64 x 4^13 table.
+
+        Our tables are in k-mer code order. Reference-built tables
+        (count_kmers13, /root/reference/src/count_kmers13.cpp:358-388) are in
+        MPHF-slot order; pass the matching emphf ``pf_path`` (the reference's
+        13-mer ``.pf``) to reorder on load — 4^13 vectorised Jenkins lookups,
+        a one-time cost."""
         raw = np.fromfile(tf_path, dtype=np.uint64, count=SPACE_13)
         if raw.size != SPACE_13:
             raise ValueError(f"{tf_path}: expected {SPACE_13} uint64 entries, got {raw.size}")
+        if pf_path is not None:
+            from aindex_tpu.index.emphf import EmphfPF, unpermute_dense_tf
+            raw = unpermute_dense_tf(raw, EmphfPF.load(pf_path), K13)
         clipped = np.minimum(raw, np.iinfo(np.uint32).max).astype(np.uint32)
         return cls(jnp.asarray(clipped))
 

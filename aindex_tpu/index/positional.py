@@ -22,7 +22,7 @@ import numpy as np
 
 from aindex_tpu.constants import SPACE_13, SUFFIX_INDEX, SUFFIX_INDICES
 from aindex_tpu.core.reads import blob_chunks
-from aindex_tpu.index.sparse23 import Sparse23Index, _extract_canonical
+from aindex_tpu.index.sparse23 import Sparse23Index, _extract_windows
 from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
 
 
@@ -86,8 +86,8 @@ class PositionalIndex:
         k = index.k
         slot_parts, pos_parts = [], []
         for piece, off in blob_chunks(blob, k, chunk):
-            canon, valid = _extract_canonical(jnp.asarray(piece), k)
-            _, slot = index._query(canon, valid)
+            codes, valid = _extract_windows(jnp.asarray(piece), k)
+            _, slot, _ = index._resolve(codes, valid)
             slot_np = np.asarray(slot).astype(np.int64)
             keep = slot_np >= 0
             if keep.any():
@@ -97,6 +97,24 @@ class PositionalIndex:
             return cls(np.zeros(index.n + 1, np.uint64), np.zeros(0, np.uint64))
         return cls.from_slot_positions(np.concatenate(slot_parts),
                                        np.concatenate(pos_parts), index.n)
+
+    def reorder(self, old_slot_for_new: np.ndarray) -> "PositionalIndex":
+        """CSR with rows permuted: new slot j holds old slot
+        ``old_slot_for_new[j]``'s positions. Used to reorder a reference-built
+        13-mer positional index (MPHF-slot keyed,
+        /root/reference/src/compute_aindex13.cpp:206-215) into k-mer code
+        order at load time."""
+        old = np.asarray(old_slot_for_new, dtype=np.int64)
+        off = self.offsets.astype(np.int64)
+        lens = (off[1:] - off[:-1])[old]
+        new_off = np.zeros(len(old) + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        total = int(new_off[-1])
+        # vectorised segment gather: absolute source index per output element
+        src = (np.arange(total, dtype=np.int64)
+               - np.repeat(new_off[:-1], lens)
+               + np.repeat(off[:-1][old], lens))
+        return PositionalIndex(new_off.astype(np.uint64), self.positions[src])
 
     # -- persistence ---------------------------------------------------
 

@@ -41,12 +41,23 @@ def _extract_canonical(ascii_chunk: jax.Array, k: int):
     return canonical_code64(codes, k), valid
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _extract_windows(ascii_chunk: jax.Array, k: int):
+    base = ascii_to_base_codes(ascii_chunk)
+    return window_codes(base, k, out_dtype=jnp.uint64)
+
+
 @jax.jit
 def _query_kernel(g_packed, slots, checker, tf, seed, domain, canon, valid):
     slot = mphf_lookup(g_packed, slots, canon, seed, domain)
     ok = (checker[slot] == canon) & valid
     zero = jnp.zeros((), tf.dtype)
     return jnp.where(ok, tf[slot], zero), jnp.where(ok, slot, jnp.full((), -1, slot.dtype))
+
+
+def _is_reference_mphf(mphf) -> bool:
+    from aindex_tpu.index.emphf import EmphfMPHFAdapter
+    return isinstance(mphf, EmphfMPHFAdapter)
 
 
 def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22
@@ -76,18 +87,33 @@ def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22
 class Sparse23Index:
     """Sparse canonical k-mer index (default k=23) with device-side queries."""
 
-    def __init__(self, mphf: MPHF, checker: np.ndarray, tf: np.ndarray, k: int = K23):
+    def __init__(self, mphf, checker: np.ndarray, tf: np.ndarray, k: int = K23):
         self.k = k
-        self.mphf = mphf
+        self.mphf = mphf  # MPHF or emphf.EmphfMPHFAdapter (duck-typed)
         self.checker_host = np.asarray(checker, dtype=np.uint64)
         self.tf_host = np.asarray(tf, dtype=np.uint32)
         # device replicas
-        self.g_packed = jnp.asarray(mphf.g_packed)
-        self.slots = jnp.asarray(mphf.slots)
         self.checker = jnp.asarray(self.checker_host)
         self.tf = jnp.asarray(self.tf_host)
-        self.seed = jnp.uint64(mphf.seed)
-        self.domain = jnp.uint64(mphf.domain)
+        if hasattr(mphf, "g_packed"):  # native murmur-hash MPHF: device walk
+            self.g_packed = jnp.asarray(mphf.g_packed)
+            self.slots = jnp.asarray(mphf.slots)
+            self.seed = jnp.uint64(mphf.seed)
+            self.domain = jnp.uint64(mphf.domain)
+        else:  # reference-format (emphf) MPHF: device queries use the cuckoo
+            self.g_packed = None
+            self.slots = None
+            self.seed = None
+            self.domain = None
+        # Indexes built here store true-canonical keys, so one probe of the
+        # canonical form suffices. Reference-built artifacts are keyed by
+        # kmer_counter's buggy "canonical" (its reverse_complement_fast does a
+        # full bit reversal, swapping the bits WITHIN each base — C and G map
+        # to themselves, /root/reference/src/count_kmers.cpp:116-130), so
+        # keys are not predictable from the query; we then use the reference
+        # QUERY semantics instead: probe the forward key, else the (correct)
+        # revcomp (get_freq, /root/reference/src/hash.hpp:123-140).
+        self.canonical_keys = not _is_reference_mphf(mphf)
         self._cuckoo = None
 
     @property
@@ -113,9 +139,43 @@ class Sparse23Index:
         if ck is not None:
             return cuckoo_query(ck.device, jnp.asarray(canon),
                                 jnp.asarray(valid), ck.seed1, ck.seed2, m=ck.m)
+        if self.g_packed is None:
+            raise RuntimeError(
+                f"no device query path for k={self.k}: the cuckoo accelerator "
+                "needs k <= 30 and the emphf MPHF has no device walk")
         return _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
                              self.seed, self.domain,
                              jnp.asarray(canon), jnp.asarray(valid))
+
+    def _resolve(self, codes, valid):
+        """(tf, slot, strand) for LITERAL k-mer codes; strand 0/1/2 =
+        absent/forward/revcomp.
+
+        Canonical-keyed indexes (built here): one probe of min(code, rc).
+        Reference-keyed indexes: probe forward, else revcomp — the
+        reference's own query rule (get_freq,
+        /root/reference/src/hash.hpp:123-140), which is the only sound rule
+        over kmer_counter's unpredictable buggy-canonical keys."""
+        from aindex_tpu.kernels.encode import revcomp_code64
+        codes_j = jnp.asarray(codes).astype(jnp.uint64)
+        valid_j = jnp.asarray(valid)
+        rc = revcomp_code64(codes_j, self.k)
+        if self.canonical_keys:
+            canon = jnp.minimum(codes_j, rc)
+            tf, slot = self._query(canon, valid_j)
+            found = slot >= 0
+            strand = jnp.where(found,
+                               jnp.where(codes_j <= rc, 1, 2), 0).astype(jnp.int32)
+            return tf, slot, strand
+        b = codes_j.shape[0]
+        tf2, slot2 = self._query(jnp.concatenate([codes_j, rc]),
+                                 jnp.concatenate([valid_j, valid_j]))
+        hit_f = slot2[:b] >= 0
+        hit_r = slot2[b:] >= 0
+        tf = jnp.where(hit_f, tf2[:b], tf2[b:])
+        slot = jnp.where(hit_f, slot2[:b], slot2[b:])
+        strand = jnp.where(hit_f, 1, jnp.where(hit_r, 2, 0)).astype(jnp.int32)
+        return tf, slot, strand
 
     # -- construction --------------------------------------------------
 
@@ -155,14 +215,48 @@ class Sparse23Index:
     def save(self, prefix: str) -> None:
         """Write <prefix>.pf + .tf.bin (uint32/slot) + .kmers.bin (uint64/slot)
         — the artifact triple of compute_index
-        (/root/reference/src/compute_index.cpp:59-67)."""
+        (/root/reference/src/compute_index.cpp:59-67). The .pf is written in
+        whichever format the index carries (our ATPF format for murmur-built
+        indexes; the reference's emphf layout for reference-loaded ones)."""
         self.mphf.save(prefix + SUFFIX_PF)
         self.tf_host.tofile(prefix + SUFFIX_TF)
         self.checker_host.tofile(prefix + SUFFIX_KMERS_BIN)
 
+    def export_reference(self, prefix: str) -> None:
+        """Write a fully reference-compatible artifact set: an emphf-layout
+        .pf (loadable by the reference C++, /root/reference/src/emphf/
+        mphf.hpp:99-113) plus .tf.bin/.kmers.bin permuted into ITS slot
+        order, so reference tooling can consume an index built here."""
+        from aindex_tpu.index.emphf import EmphfMPHFAdapter
+        if isinstance(self.mphf, EmphfMPHFAdapter):
+            self.save(prefix)  # already in reference slot order + format
+            return
+        keys = self.checker_host
+        adapter = EmphfMPHFAdapter.build(keys, self.k)
+        new_slot = adapter.lookup(keys)  # our slot i -> reference slot
+        tf = np.zeros_like(self.tf_host)
+        checker = np.zeros_like(self.checker_host)
+        tf[new_slot] = self.tf_host
+        checker[new_slot] = keys
+        adapter.save(prefix + SUFFIX_PF)
+        tf.tofile(prefix + SUFFIX_TF)
+        checker.tofile(prefix + SUFFIX_KMERS_BIN)
+
     @classmethod
     def load(cls, prefix: str, k: int = K23) -> "Sparse23Index":
-        mphf = MPHF.load(prefix + SUFFIX_PF)
+        """Load an artifact triple; the .pf may be either our ATPF format or
+        the reference's emphf layout (auto-detected) — reference-built index
+        files load as-is, with the reference's own slot ids."""
+        from aindex_tpu.index.emphf import EmphfMPHFAdapter, EmphfPF
+        pf_path = prefix + SUFFIX_PF
+        with open(pf_path, "rb") as f:
+            magic = f.read(8)
+        if magic == MPHF.MAGIC:
+            mphf = MPHF.load(pf_path)
+        elif EmphfPF.is_emphf_file(pf_path):
+            mphf = EmphfMPHFAdapter.load(pf_path, k)
+        else:
+            raise ValueError(f"{pf_path}: neither ATPF nor emphf .pf format")
         tf = np.fromfile(prefix + SUFFIX_TF, dtype=np.uint32)
         checker = np.fromfile(prefix + SUFFIX_KMERS_BIN, dtype=np.uint64)
         if tf.size != mphf.n or checker.size != mphf.n:
@@ -179,34 +273,30 @@ class Sparse23Index:
     # -- queries -----------------------------------------------------------
 
     def get_tf_values(self, kmers: list[str]) -> np.ndarray:
-        """Canonical tf per k-mer (get_freq semantics,
-        /root/reference/src/hash.hpp:123-140): one MPHF lookup on the
-        canonical form + checker verification."""
+        """tf per k-mer (get_freq semantics,
+        /root/reference/src/hash.hpp:123-140): verified probe of the
+        canonical form (our indexes) or forward-then-revcomp (reference
+        indexes — see _resolve)."""
         codes, valid = self._encode(kmers)
-        canon = codec.canonical_code(codes, self.k)
-        tf, _ = self._query(canon, valid)
+        tf, _, _ = self._resolve(codes, valid)
         return np.asarray(tf)
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """(fwd tf, rc tf): tf of the k-mer exactly as stored per strand.
 
-        In the canonical index a k-mer's count pools both strands
         (get_tf_both_directions_23mer, /root/reference/src/python_wrapper.cpp:1219-1260
         reports (tf, 0) when found forward, (0, tf) when found as revcomp)."""
         codes, valid = self._encode(kmers)
-        rc = codec.revcomp_code(codes, self.k)
-        canon = np.minimum(codes, rc)
-        tf, _ = self._query(canon, valid)
-        tf = np.asarray(tf)
-        is_fwd = codes <= rc
-        return np.where(is_fwd, tf, 0).astype(tf.dtype), np.where(is_fwd, 0, tf).astype(tf.dtype)
+        tf, _, strand = self._resolve(codes, valid)
+        tf, strand = np.asarray(tf), np.asarray(strand)
+        return (np.where(strand == 1, tf, 0).astype(tf.dtype),
+                np.where(strand == 2, tf, 0).astype(tf.dtype))
 
     def get_pfids(self, kmers: list[str]) -> np.ndarray:
-        """Canonical slot id per k-mer; n (invalid marker) when absent
+        """Slot id per k-mer; n (invalid marker) when absent
         (get_pfid, /root/reference/src/hash.hpp:150-170)."""
         codes, valid = self._encode(kmers)
-        canon = codec.canonical_code(codes, self.k)
-        _, slot = self._query(canon, valid)
+        _, slot, _ = self._resolve(codes, valid)
         slot = np.asarray(slot).astype(np.int64)
         return np.where(slot < 0, self.n, slot)
 
@@ -220,12 +310,8 @@ class Sparse23Index:
         """0 = not found, 1 = stored forward, 2 = stored as revcomp
         (/root/reference/src/python_wrapper.cpp:726-742)."""
         codes, valid = self._encode(kmers)
-        rc = codec.revcomp_code(codes, self.k)
-        canon = np.minimum(codes, rc)
-        tf, slot = self._query(canon, valid)
-        found = np.asarray(slot) >= 0
-        is_fwd = codes <= rc
-        return np.where(found, np.where(is_fwd, 1, 2), 0).astype(np.int32)
+        _, _, strand = self._resolve(codes, valid)
+        return np.asarray(strand)
 
     def get_kmer_by_kid(self, kid: int) -> str:
         if kid >= self.n or kid < 0:
@@ -248,12 +334,12 @@ class Sparse23Index:
         return self._coverage_ascii(ascii_u8[None, :], cutoff)[0]
 
     def _coverage_ascii(self, mat: np.ndarray, cutoff: int) -> np.ndarray:
-        """Coverage over [B, L] ASCII rows: windows -> canonical -> verified
-        query -> cutoff (batched analogue of get_sequence_coverage over
+        """Coverage over [B, L] ASCII rows: windows -> verified query ->
+        cutoff (batched analogue of get_sequence_coverage over
         get_tf_value, /root/reference/src/hash.hpp:123-140)."""
-        canon, valid = _extract_canonical(jnp.asarray(mat), self.k)
-        shape = canon.shape
-        tf, _ = self._query(canon.reshape(-1), valid.reshape(-1))
+        codes, valid = _extract_windows(jnp.asarray(mat), self.k)
+        shape = codes.shape
+        tf, _, _ = self._resolve(codes.reshape(-1), valid.reshape(-1))
         tf = tf.reshape(shape)
         if cutoff:
             tf = jnp.where(tf >= jnp.uint32(cutoff), tf, jnp.zeros((), tf.dtype))
@@ -303,9 +389,8 @@ class Sparse23Index:
         return self._ext_tf(ext, cutoff)
 
     def _ext_tf(self, ext_codes: np.ndarray, cutoff: int) -> np.ndarray:
-        canon = codec.canonical_code(ext_codes.reshape(-1), self.k)
-        valid = np.ones(canon.shape, dtype=bool)
-        tf, _ = self._query(canon, valid)
+        flat = ext_codes.reshape(-1)
+        tf, _, _ = self._resolve(flat, np.ones(flat.shape, dtype=bool))
         tf = np.asarray(tf).reshape(ext_codes.shape)
         if cutoff > 0:
             tf = np.where(tf <= cutoff, 0, tf)
