@@ -60,28 +60,37 @@ def _is_reference_mphf(mphf) -> bool:
     return isinstance(mphf, EmphfMPHFAdapter)
 
 
-def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22
+def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
+                          reduce: str = "device"
                           ) -> tuple[np.ndarray, np.ndarray]:
     """(unique canonical codes, counts) over all valid windows of the blob.
 
-    Device extracts + canonicalises windows; the host reduces each chunk with
-    np.unique and merges partial spectra (deterministic, race-free — replaces
-    the reference's atomic scatter counting, SURVEY.md section 2.7).
+    Deterministic, race-free replacement for the reference's thread-local
+    hash maps + merge (/root/reference/src/count_kmers.cpp:47-64,334-341;
+    SURVEY.md section 2.7). Two reduction backends:
+
+    * ``reduce="device"`` (default): per-chunk sort + segment-reduce entirely
+      on device (aindex_tpu.kernels.spectrum) — only the already-unique
+      partial spectra come back to the host;
+    * ``reduce="host"``: per-chunk np.unique on the host (the conservative
+      path; also the reference for testing the device reduction).
     """
+    from aindex_tpu.kernels.spectrum import chunk_spectrum, merge_spectra
+    if reduce not in ("device", "host"):
+        raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
     parts: list[tuple[np.ndarray, np.ndarray]] = []
     for piece, _ in blob_chunks(blob, k, chunk):
-        canon, valid = _extract_canonical(jnp.asarray(piece), k)
-        canon_np = np.asarray(canon)[np.asarray(valid)]
-        if canon_np.size:
-            parts.append(np.unique(canon_np, return_counts=True))
-    if not parts:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    all_keys = np.concatenate([p[0] for p in parts])
-    all_counts = np.concatenate([p[1] for p in parts])
-    keys, inv = np.unique(all_keys, return_inverse=True)
-    counts = np.zeros(keys.size, dtype=np.uint64)
-    np.add.at(counts, inv, all_counts)
-    return keys, counts
+        if reduce == "device":
+            keys, counts, n_unique = chunk_spectrum(jnp.asarray(piece), k)
+            n = int(n_unique)
+            if n:
+                parts.append((np.asarray(keys[:n]), np.asarray(counts[:n])))
+        else:
+            canon, valid = _extract_canonical(jnp.asarray(piece), k)
+            canon_np = np.asarray(canon)[np.asarray(valid)]
+            if canon_np.size:
+                parts.append(np.unique(canon_np, return_counts=True))
+    return merge_spectra(parts)
 
 
 class Sparse23Index:

@@ -1,0 +1,84 @@
+"""Device-side k-mer spectrum reduction (sort + segment-reduce).
+
+The reference reduces k-mer multisets with per-thread ``unordered_map``s that
+are merged under a lock (/root/reference/src/count_kmers.cpp:47-64,334-341).
+The first TPU port of that idea still did the reduction on the host
+(np.unique per chunk); this module moves it onto the device as the classic
+sort-based formulation (SURVEY.md section 2.7: "thread-local maps + merge" ->
+sort/segment-reduce):
+
+  extract canonical windows -> sort codes -> segment boundaries by
+  neighbour-compare -> segment-id = prefix sum -> counts via scatter-add,
+  keys via scatter-max.
+
+Everything is static-shaped: invalid windows sort to a sentinel tail and the
+unique count comes back as a scalar alongside the padded arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Sentinel sort key for invalid windows (> any 2k-bit k-mer code, k <= 31).
+SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chunk_spectrum(ascii_chunk: jax.Array, k: int):
+    """(keys, counts, n_unique) for all valid canonical k-mers of one chunk.
+
+    ``keys``/``counts`` are padded to the window count of the chunk; entries
+    at index >= n_unique are padding (key == SENTINEL, count == 0). The whole
+    reduction runs on device; the host only slices off the padding.
+    """
+    from aindex_tpu.index.sparse23 import _extract_canonical
+
+    canon, valid = _extract_canonical(ascii_chunk, k)
+    keyed = jnp.where(valid, canon, SENTINEL).reshape(-1)
+    return sorted_spectrum(keyed)
+
+
+@jax.jit
+def sorted_spectrum(keyed: jax.Array):
+    """Segment-reduce a flat uint64 key array (SENTINEL = ignore).
+
+    Returns (keys[N], counts[N], n_unique) with unique keys sorted ascending
+    in the first ``n_unique`` entries.
+    """
+    s = jnp.sort(keyed)
+    n = s.shape[0]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment id per element
+    live = s != SENTINEL
+    counts = jnp.zeros((n,), jnp.uint32).at[seg].add(
+        live.astype(jnp.uint32), mode="drop")
+    keys = jnp.full((n,), SENTINEL, dtype=jnp.uint64).at[seg].min(
+        jnp.where(live, s, SENTINEL), mode="drop")
+    n_unique = jnp.sum(is_new & live).astype(jnp.int32)
+    return keys, counts, n_unique
+
+
+def merge_spectra(parts: list[tuple[np.ndarray, np.ndarray]]
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-chunk (sorted unique keys, counts) partial spectra.
+
+    Each part is already unique-sorted, so the merge works on far less data
+    than the raw window stream. Host-side numpy: the partial spectra are the
+    natural host<->device boundary (they are also what crosses hosts in the
+    multi-host build, aindex_tpu/parallel/distributed.py).
+    """
+    if not parts:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    if len(parts) == 1:
+        return parts[0][0].astype(np.uint64), parts[0][1].astype(np.uint64)
+    all_keys = np.concatenate([p[0] for p in parts])
+    all_counts = np.concatenate([p[1] for p in parts]).astype(np.uint64)
+    keys, inv = np.unique(all_keys, return_inverse=True)
+    counts = np.zeros(keys.size, dtype=np.uint64)
+    np.add.at(counts, inv, all_counts)
+    return keys, counts

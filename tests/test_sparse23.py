@@ -65,6 +65,31 @@ class TestSpectrum:
         k2, c2 = count_canonical_kmers(store.blob, chunk=1 << 22)
         assert (k1 == k2).all() and (c1 == c2).all()
 
+    def test_device_reduce_matches_host_reduce(self, reads):
+        store = ReadsStore.from_sequences(reads)
+        for chunk in (128, 4096, 1 << 22):
+            kd, cd = count_canonical_kmers(store.blob, chunk=chunk,
+                                           reduce="device")
+            kh, ch = count_canonical_kmers(store.blob, chunk=chunk,
+                                           reduce="host")
+            assert (kd == kh).all() and (cd == ch).all()
+
+    def test_device_reduce_all_invalid(self):
+        blob = np.frombuffer(b"N" * 64 + b"\n", dtype=np.uint8)
+        keys, counts = count_canonical_kmers(blob, reduce="device")
+        assert keys.size == 0 and counts.size == 0
+
+    def test_sorted_spectrum_counts(self):
+        from aindex_tpu.kernels.spectrum import SENTINEL, sorted_spectrum
+        import jax.numpy as jnp
+        keyed = jnp.asarray(np.array(
+            [5, 2, 2, 0xFFFFFFFFFFFFFFFF, 5, 5, 9], dtype=np.uint64))
+        keys, counts, n = sorted_spectrum(keyed)
+        n = int(n)
+        assert n == 3
+        assert np.asarray(keys[:n]).tolist() == [2, 5, 9]
+        assert np.asarray(counts[:n]).tolist() == [2, 3, 1]
+
 
 class TestQueries:
     def test_every_kmer_tf_matches_oracle(self, built):
