@@ -31,14 +31,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128          # last-dim tile width on TPU
-SHARD_ROWS = 32768   # rows per table shard => 4Mi entries (4 MB at uint8)
+SHARD_ROWS = 8192    # int32-word rows per table shard => 4 MB of VMEM
 TILE_ROWS = 2048     # codes-tile rows => 262,144 codes per grid step
 SUB_ROWS = 32        # rows per inner gather sub-tile => 4096 codes
 
 
 def _gather_kernel(codes_ref, table_ref, out_ref, *, shard_rows: int,
-                   acc_dtype):
-    """One (codes tile, table shard) step: masked gather-accumulate."""
+                   log2_epw: int, elem_bits: int):
+    """One (codes tile, table shard) step: masked gather-accumulate.
+
+    Works entirely in int32 — this Mosaic version cannot lower narrow<->wide
+    integer converts (its _convert_helper self-recurses), so the caller packs
+    the table into int32 words (``epw`` = elements per word) and we extract
+    the addressed element with shifts/masks on the VPU.
+    """
     s = pl.program_id(1)
     row_base = s * shard_rows
 
@@ -49,23 +55,32 @@ def _gather_kernel(codes_ref, table_ref, out_ref, *, shard_rows: int,
     n_sub = codes_ref.shape[0] // SUB_ROWS
     sub_b = SUB_ROWS * LANES
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_b, LANES), 1)
+    elem_mask = (1 << elem_bits) - 1 if elem_bits < 32 else None
 
     def body(i, _):
         codes = codes_ref[pl.ds(i * SUB_ROWS, SUB_ROWS), :]   # (SUB_ROWS, 128)
-        row = jax.lax.shift_right_logical(codes, jnp.int32(7)) \
-            - row_base.astype(jnp.int32)
-        col = (codes & jnp.int32(127)).reshape(sub_b, 1)
+        word_idx = jax.lax.shift_right_logical(codes, jnp.int32(log2_epw))
+        row = jax.lax.shift_right_logical(word_idx, jnp.int32(7)) - row_base
+        col = (word_idx & jnp.int32(127)).reshape(sub_b, 1)
         in_shard = (row >= 0) & (row < shard_rows)
         safe_row = jnp.where(in_shard, row, 0).reshape(sub_b)
         rows = jnp.take(table_ref[:], safe_row, axis=0)        # (sub_b, 128)
         onehot = lane_iota == col
-        val = jnp.sum(jnp.where(onehot, rows.astype(acc_dtype), 0),
-                      axis=1).reshape(SUB_ROWS, LANES)
+        word = jnp.sum(jnp.where(onehot, rows, 0), axis=1,
+                       dtype=jnp.int32).reshape(SUB_ROWS, LANES)
+        if elem_mask is not None:            # select sub-word element
+            sub = codes & jnp.int32((1 << log2_epw) - 1)
+            word = jax.lax.shift_right_logical(
+                word, sub * jnp.int32(elem_bits)) & jnp.int32(elem_mask)
         out_ref[pl.ds(i * SUB_ROWS, SUB_ROWS), :] += jnp.where(
-            in_shard, val, jnp.zeros((), acc_dtype))
+            in_shard, word, jnp.zeros((), jnp.int32))
         return 0
 
     jax.lax.fori_loop(0, n_sub, body, 0)
+
+
+_ITEMSIZE = {"uint8": 1, "int8": 1, "uint16": 2, "int16": 2,
+             "uint32": 4, "int32": 4}
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -73,14 +88,27 @@ def gather_tf_pallas(table: jax.Array, codes: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """out[i] = table[codes[i]] via shard-streaming; exact XLA-gather drop-in.
 
-    ``table`` must be uint8/uint16/uint32 with size % (SHARD_ROWS*LANES) == 0;
-    ``codes`` any integer dtype, values in [0, table.size). Output is uint32.
+    ``table`` must be uint8/uint16/uint32 with byte size a multiple of
+    SHARD_ROWS*LANES*4; ``codes`` any integer dtype, values in
+    [0, table.size). Output is uint32.
     """
-    if table.size % (SHARD_ROWS * LANES):
-        raise ValueError(f"table size {table.size} not a multiple of "
-                         f"{SHARD_ROWS * LANES}")
-    n_shards = table.size // (SHARD_ROWS * LANES)
-    table2d = table.reshape(-1, LANES)
+    itemsize = _ITEMSIZE.get(str(table.dtype))
+    if itemsize is None:
+        raise ValueError(f"unsupported table dtype {table.dtype}")
+    epw = 4 // itemsize                          # elements per int32 word
+    log2_epw = epw.bit_length() - 1
+    shard_bytes = SHARD_ROWS * LANES * 4
+    if (table.size * itemsize) % shard_bytes:
+        raise ValueError(f"table byte size {table.size * itemsize} not a "
+                         f"multiple of {shard_bytes}")
+    n_shards = (table.size * itemsize) // shard_bytes
+    # pack into int32 words: bitcast groups of epw narrow elements
+    if epw > 1:
+        words = jax.lax.bitcast_convert_type(
+            table.reshape(-1, epw), jnp.int32).reshape(-1)
+    else:
+        words = jax.lax.bitcast_convert_type(table, jnp.int32)
+    table2d = words.reshape(-1, LANES)
 
     b = codes.shape[0]
     tile = TILE_ROWS * LANES
@@ -88,11 +116,10 @@ def gather_tf_pallas(table: jax.Array, codes: jax.Array,
     codes_p = jnp.pad(codes.astype(jnp.int32), (0, pad)).reshape(-1, LANES)
     n_btiles = codes_p.shape[0] // TILE_ROWS
 
-    acc_dtype = jnp.uint32
     out = pl.pallas_call(
         functools.partial(_gather_kernel, shard_rows=SHARD_ROWS,
-                          acc_dtype=acc_dtype),
-        out_shape=jax.ShapeDtypeStruct(codes_p.shape, acc_dtype),
+                          log2_epw=log2_epw, elem_bits=8 * itemsize),
+        out_shape=jax.ShapeDtypeStruct(codes_p.shape, jnp.int32),
         grid=(n_btiles, n_shards),
         in_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
@@ -104,7 +131,7 @@ def gather_tf_pallas(table: jax.Array, codes: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(codes_p, table2d)
-    return out.reshape(-1)[:b]
+    return out.reshape(-1)[:b].astype(jnp.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +161,9 @@ def gather_tf_auto(table: jax.Array, codes: jax.Array) -> jax.Array:
     backend) permanently falls back to the XLA gather.
     """
     backend = jax.default_backend()
-    if backend != "tpu" or codes.shape[0] < (1 << 20) \
-            or table.size % (SHARD_ROWS * LANES):
+    itemsize = _ITEMSIZE.get(str(table.dtype))
+    if backend != "tpu" or codes.shape[0] < (1 << 20) or itemsize is None \
+            or (table.size * itemsize) % (SHARD_ROWS * LANES * 4):
         return table[codes.astype(jnp.int32)]
     key = (backend, table.size, str(table.dtype), codes.shape[0])
     impl = _impl_cache.get(key)
