@@ -230,6 +230,15 @@ class AIndex:
     def get_tf_values(self, kmers: List[str]) -> List[int]:
         if not self._loaded or not kmers:
             return [0] * len(kmers)
+        k0 = len(kmers[0])
+        if any(len(km) != k0 for km in kmers):
+            # the whole batch dispatches on one mode; a mixed batch would
+            # silently return zeros for the minority — reject instead (the
+            # reference raises for the unloaded mode per call,
+            # /root/reference/src/python_wrapper.cpp:644-664)
+            raise ValueError(
+                "get_tf_values: mixed k-mer lengths in one batch; "
+                "split by length and call per mode")
         mode = self._mode_for(kmers[0])
         if mode is None:
             return [0] * len(kmers)
@@ -375,8 +384,15 @@ class AIndex:
         return self.reads.start_by_pos(pos)
 
     def get_rid2poses(self, kmer: str) -> Dict[int, List[int]]:
-        """kmer -> {rid: [in-read offsets]} (aindex/core/aindex.py:333-341)."""
+        """kmer -> {rid: [in-read offsets]} (aindex/core/aindex.py:333-341).
+
+        Position fan-out is capped at ``self.max_tf`` (the documented intent
+        of the loader's max_tf argument — the reference wrapper stores it but
+        never consults it, /root/reference/src/python_wrapper.cpp:134,365;
+        here it actually bounds the work of hub k-mers)."""
         poses = self.pos(kmer)
+        if self.max_tf and len(poses) > self.max_tf:
+            poses = poses[:self.max_tf]
         hits: Dict[int, List[int]] = defaultdict(list)
         for p in poses:
             rid = self.get_rid(p)
@@ -410,6 +426,45 @@ class AIndex:
         return out
 
     get_reads_se_by_kmer = get_reads_by_kmer
+
+    def debug_kmer_tf_values(self, slots: Optional[List[int]] = None) -> int:
+        """Positional-index self-check (debug_kmer_tf_values,
+        /root/reference/src/python_wrapper.cpp:913-935): for probe slots,
+        assert the blob substring at every recorded position equals the
+        slot's k-mer and that the position count is consistent with tf.
+
+        Returns the number of positions verified; raises AssertionError on
+        any inconsistency."""
+        self._require(self.reads, "reads")
+        verified = 0
+        if self.pos23 is not None and self.sparse23 is not None:
+            probe = slots or [1, 10, 100, 1000, 10000, 100000]
+            for slot in probe:
+                if slot >= self.sparse23.n:
+                    continue
+                kmer = self.sparse23.get_kmer_by_kid(slot)
+                rkmer = codec.revcomp(kmer)
+                tf = int(self.sparse23.tf_host[slot])
+                poses = self.pos23.positions_by_slot(slot)
+                assert len(poses) <= tf, \
+                    f"slot {slot}: {len(poses)} positions > tf {tf}"
+                for p in poses:
+                    sub = self.get_read(int(p), int(p) + self.sparse23.k)
+                    assert sub in (kmer, rkmer), \
+                        f"slot {slot} pos {p}: blob has {sub!r}, want {kmer!r}"
+                    verified += 1
+        if self.pos13 is not None and self.dense13 is not None:
+            probe = slots or [1, 10, 100, 1000, 10000, 100000]
+            for code in probe:
+                if code >= SPACE_13:
+                    continue
+                kmer = codec.decode_kmer(code, K13)
+                for p in self.pos13.positions_by_slot(code):
+                    sub = self.get_read(int(p), int(p) + K13)
+                    assert sub == kmer, \
+                        f"code {code} pos {p}: blob has {sub!r}, want {kmer!r}"
+                    verified += 1
+        return verified
 
     def iter_reads(self) -> Iterator[Tuple[int, str]]:
         self._require(self.reads, "reads")

@@ -97,6 +97,12 @@ class Sparse23Index:
     """Sparse canonical k-mer index (default k=23) with device-side queries."""
 
     def __init__(self, mphf, checker: np.ndarray, tf: np.ndarray, k: int = K23):
+        if _is_reference_mphf(mphf) and k > 30:
+            # the cuckoo accelerator needs keys < 2^62 and the emphf MPHF has
+            # no device walk — fail at construction, not first query
+            raise ValueError(
+                f"k={k} with a reference emphf MPHF is unsupported: no "
+                f"device query path exists for k > 30")
         self.k = k
         self.mphf = mphf  # MPHF or emphf.EmphfMPHFAdapter (duck-typed)
         self.checker_host = np.asarray(checker, dtype=np.uint64)

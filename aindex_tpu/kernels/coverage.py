@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aindex_tpu.kernels.encode import (ascii_to_base_codes, canonical_code64,
-                                       window_codes)
+from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -75,25 +74,3 @@ def coverage_dense_batch(table: jax.Array, seqs: list[str], k: int,
         for row, i in enumerate(members):
             out[i] = cov[row, :len(seqs[i]) - k + 1]
     return out  # type: ignore[return-value]
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def coverage_sparse_kernel(g_packed: jax.Array, slots: jax.Array,
-                           checker: jax.Array, tf: jax.Array,
-                           seed: jax.Array, domain: jax.Array,
-                           ascii_u8: jax.Array, cutoff: jax.Array,
-                           k: int) -> jax.Array:
-    """Canonical coverage against the sparse MPHF-backed table (23-mer).
-
-    One MPHF lookup (4 gathers) + checker verification per position —
-    the batched analogue of get_sequence_coverage over get_tf_value
-    (/root/reference/src/hash.hpp:123-140)."""
-    from aindex_tpu.kernels.lookup import mphf_lookup
-
-    base = ascii_to_base_codes(ascii_u8)
-    codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
-    canon = canonical_code64(codes, k)
-    slot = mphf_lookup(g_packed, slots, canon, seed, domain)
-    ok = (checker[slot] == canon) & valid
-    vals = jnp.where(ok, tf[slot], jnp.zeros((), tf.dtype))
-    return jnp.where(vals >= cutoff, vals, jnp.zeros((), vals.dtype))

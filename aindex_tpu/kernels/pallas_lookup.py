@@ -15,9 +15,11 @@ Whether this beats the XLA gather depends on batch size and table width —
 ``gather_tf_auto`` runs a short on-device timing race at first use and
 picks the winner (cached per (table id, batch shape)).
 
-The kernel is exact for any uint8/uint16/uint32 table whose size is a
-multiple of SHARD_ROWS*128; the dense 13-mer table (4^13 entries,
-/root/reference/src/count_kmers13.cpp:27) satisfies this with room to spare.
+The kernel is exact for any uint8/uint16/uint32 table: the packed int32
+word array is zero-padded up to a whole number of shards, and padded words
+are never selected because codes address only real table entries. The dense
+13-mer table (4^13 entries, /root/reference/src/count_kmers13.cpp:27) packs
+to a whole shard count with no padding at any width.
 """
 
 from __future__ import annotations
@@ -88,8 +90,8 @@ def gather_tf_pallas(table: jax.Array, codes: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """out[i] = table[codes[i]] via shard-streaming; exact XLA-gather drop-in.
 
-    ``table`` must be uint8/uint16/uint32 with byte size a multiple of
-    SHARD_ROWS*LANES*4; ``codes`` any integer dtype, values in
+    ``table`` is uint8/uint16/uint32 of any size (zero-padded on device to a
+    whole shard count); ``codes`` any integer dtype, values in
     [0, table.size). Output is uint32.
     """
     itemsize = _ITEMSIZE.get(str(table.dtype))
@@ -97,11 +99,13 @@ def gather_tf_pallas(table: jax.Array, codes: jax.Array,
         raise ValueError(f"unsupported table dtype {table.dtype}")
     epw = 4 // itemsize                          # elements per int32 word
     log2_epw = epw.bit_length() - 1
-    shard_bytes = SHARD_ROWS * LANES * 4
-    if (table.size * itemsize) % shard_bytes:
-        raise ValueError(f"table byte size {table.size * itemsize} not a "
-                         f"multiple of {shard_bytes}")
-    n_shards = (table.size * itemsize) // shard_bytes
+    # zero-pad to a whole number of shards (in elements); padded entries are
+    # unreachable because codes address only [0, table.size)
+    shard_elems = SHARD_ROWS * LANES * epw
+    pad_elems = (-table.size) % shard_elems
+    if pad_elems:
+        table = jnp.pad(table, (0, pad_elems))
+    n_shards = table.size // shard_elems
     # pack into int32 words: bitcast groups of epw narrow elements
     if epw > 1:
         words = jax.lax.bitcast_convert_type(
@@ -162,8 +166,7 @@ def gather_tf_auto(table: jax.Array, codes: jax.Array) -> jax.Array:
     """
     backend = jax.default_backend()
     itemsize = _ITEMSIZE.get(str(table.dtype))
-    if backend != "tpu" or codes.shape[0] < (1 << 20) or itemsize is None \
-            or (table.size * itemsize) % (SHARD_ROWS * LANES * 4):
+    if backend != "tpu" or codes.shape[0] < (1 << 20) or itemsize is None:
         return table[codes.astype(jnp.int32)]
     key = (backend, table.size, str(table.dtype), codes.shape[0])
     impl = _impl_cache.get(key)

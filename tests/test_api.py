@@ -150,3 +150,41 @@ class TestBatchCoverage:
             batch = idx.get_sequence_coverage_batch(seqs, k=k)
             single = [idx.get_sequence_coverage(s, k=k) for s in seqs]
             assert batch == single
+
+
+class TestParityTail:
+    def test_mixed_length_batch_rejected(self, idx13):
+        with pytest.raises(ValueError, match="mixed"):
+            idx13.get_tf_values(["A" * 13, "A" * 23])
+
+    def test_max_tf_caps_rid2poses(self, reads):
+        # duplicate one read many times so its k-mers have high fan-out
+        many = [reads[0]] * 50
+        idx = AIndex.build_from_sequences(many, kmer_size=23)
+        km = reads[0][:23]
+        full = idx.get_rid2poses(km)
+        assert sum(len(v) for v in full.values()) == 50
+        idx.max_tf = 7
+        capped = idx.get_rid2poses(km)
+        assert sum(len(v) for v in capped.values()) == 7
+        idx.max_tf = 0  # 0 = uncapped
+        assert idx.get_rid2poses(km) == full
+
+    def test_debug_kmer_tf_values(self, idx13, idx23):
+        # probe the slots that actually exist in these tiny indexes
+        n23 = sum(idx23.debug_kmer_tf_values(slots=[0, 1, 2, 3]) for _ in (0,))
+        assert n23 > 0
+        codes = [int(c) for c in
+                 np.flatnonzero(idx13.dense13.tf_host > 0)[:4]]
+        n13 = idx13.debug_kmer_tf_values(slots=codes)
+        assert n13 > 0
+
+    def test_emphf_k_over_30_rejected_at_load(self):
+        from aindex_tpu.index.emphf import EmphfMPHFAdapter
+        from aindex_tpu.index.sparse23 import Sparse23Index
+        keys = np.arange(8, dtype=np.uint64)
+        adapter = EmphfMPHFAdapter.build(keys, 31)
+        checker = np.zeros(adapter.n, np.uint64)
+        tf = np.zeros(adapter.n, np.uint32)
+        with pytest.raises(ValueError, match="k > 30|k=31"):
+            Sparse23Index(adapter, checker, tf, k=31)

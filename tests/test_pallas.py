@@ -53,9 +53,18 @@ class TestPallasGather:
                                               interpret=True))
             assert (got == table[codes]).all()
 
-    def test_bad_table_size_rejected(self):
+    def test_odd_table_size_padded(self):
+        """Non-shard-multiple tables are zero-padded, not rejected."""
+        rng = np.random.default_rng(7)
+        table = rng.integers(0, 255, size=100, dtype=np.int64).astype(np.uint8)
+        codes = rng.integers(0, 100, size=64, dtype=np.int64).astype(np.uint32)
+        got = np.asarray(gather_tf_pallas(jnp.asarray(table),
+                                          jnp.asarray(codes), interpret=True))
+        assert (got == table[codes]).all()
+
+    def test_bad_dtype_rejected(self):
         with pytest.raises(ValueError):
-            gather_tf_pallas(jnp.zeros(100, jnp.uint8),
+            gather_tf_pallas(jnp.zeros(100, jnp.float32),
                              jnp.zeros(8, jnp.uint32), interpret=True)
 
     def test_auto_falls_back_off_tpu(self, table_and_codes):
