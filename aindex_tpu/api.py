@@ -176,7 +176,8 @@ class AIndex:
         if kmer_size == 13:
             idx.dense13 = Dense13Index.build_from_blob(store.blob)
             if build_aindex:
-                idx.pos13 = PositionalIndex.build_dense13(store.blob)
+                idx.pos13 = PositionalIndex.build_dense13(store.blob,
+                                                          tf=idx.dense13.tf)
         else:
             idx.sparse23 = Sparse23Index.build_from_blob(store.blob, k=kmer_size)
             if build_aindex:

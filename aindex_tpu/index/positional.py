@@ -2,10 +2,20 @@
 
 The reference fills this with per-slot atomic write cursors — racy ordering
 (/root/reference/src/hash.cpp:1024-1051, src/compute_aindex13.cpp:206-215).
-The TPU-native build is sort-based and deterministic (SURVEY.md section 7.4):
-emit (slot, position) pairs from the windowing kernel, argsort by slot, and
-derive CSR offsets from the slot histogram. Positions within a slot come out
-sorted ascending — stricter than the reference's nondeterministic order.
+The TPU-native build is sort-based and deterministic (SURVEY.md section 7.4),
+streaming entirely on device:
+
+  phase 1: CSR offsets = exclusive prefix-sum of the tf histogram (already
+           produced by the counting phase);
+  phase 2: per blob chunk, stable-sort occurrences by slot, rank each
+           occurrence within its slot run, and scatter positions straight
+           into their final CSR cells at offsets[slot] + cursor[slot] + rank;
+           a persistent device cursor array carries per-slot fill counts
+           across chunks.
+
+No atomics, no host-side concatenation of the occurrence stream, and
+positions within a slot come out sorted ascending — stricter than the
+reference's nondeterministic order.
 
 On-disk format matches the reference: ``.index.bin`` = uint64 positions
 (1-based, 0 = empty), ``.indices.bin`` = uint64 CSR offsets[n_slots+1]
@@ -15,8 +25,7 @@ src/python_wrapper.cpp:800-822 return 0-based and skip zeros).
 
 from __future__ import annotations
 
-from typing import Callable
-
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +33,48 @@ from aindex_tpu.constants import SPACE_13, SUFFIX_INDEX, SUFFIX_INDICES
 from aindex_tpu.core.reads import blob_chunks
 from aindex_tpu.index.sparse23 import Sparse23Index, _extract_windows
 from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+
+
+@jax.jit
+def _csr_offsets(tf: jax.Array) -> jax.Array:
+    """Exclusive prefix-sum of the slot histogram -> int64 offsets[n+1]
+    (the reference's indices[i+1] = indices[i] + tf[i] loop,
+    /root/reference/src/hash.hpp:374-378)."""
+    c = jnp.cumsum(tf.astype(jnp.int64))
+    return jnp.concatenate([jnp.zeros((1,), jnp.int64), c])
+
+
+def _scatter_chunk(positions_out: jax.Array, cursor: jax.Array,
+                   offsets: jax.Array, slots: jax.Array, pos: jax.Array,
+                   valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Place one chunk's (slot, position) occurrences into their final CSR
+    cells. Deterministic replacement for the reference's per-slot atomic
+    cursors (/root/reference/src/hash.cpp:1024-1051): a stable device sort
+    by slot + in-run rank gives each occurrence its unique cell.
+
+    positions_out uint64[total] (donated), cursor int32[n_slots] (donated),
+    offsets int64[n_slots], slots int64[n], pos int64[n], valid bool[n].
+    """
+    n_slots = cursor.shape[0]
+    sentinel = jnp.int64(n_slots)
+    key = jnp.where(valid, slots, sentinel)
+    order = jnp.argsort(key, stable=True)      # pos ascending within a slot
+    s = key[order]
+    p = pos[order]
+    first = jnp.searchsorted(s, s, side="left")
+    rank = jnp.arange(s.shape[0], dtype=jnp.int64) - first
+    live = s < sentinel
+    safe = jnp.where(live, s, 0)
+    base = offsets[safe] + cursor[safe].astype(jnp.int64)
+    out_idx = jnp.where(live, base + rank, positions_out.shape[0])
+    positions_out = positions_out.at[out_idx].set(
+        (p + 1).astype(positions_out.dtype), mode="drop")
+    counts = jnp.zeros_like(cursor).at[safe].add(
+        live.astype(cursor.dtype), mode="drop")
+    return positions_out, cursor + counts
+
+
+_scatter_chunk_donated = jax.jit(_scatter_chunk, donate_argnums=(0, 1))
 
 
 class PositionalIndex:
@@ -59,44 +110,72 @@ class PositionalIndex:
         return cls(offsets, sorted_pos)
 
     @classmethod
+    def _build_streaming(cls, n_slots: int, tf: np.ndarray | jax.Array,
+                         chunk_iter) -> "PositionalIndex":
+        """Device-streaming CSR fill over (slots, pos0, valid) chunk triples.
+
+        ``tf`` is the per-slot occurrence histogram from the counting phase;
+        the positions array is allocated once at its sum and every chunk
+        scatters its occurrences directly into final cells (SURVEY.md §7.4
+        "sort, not atomics")."""
+        offsets = _csr_offsets(jnp.asarray(tf))
+        total = int(offsets[-1])
+        if total == 0:
+            return cls(np.asarray(offsets, dtype=np.uint64),
+                       np.zeros(0, np.uint64))
+        positions = jnp.zeros((total,), jnp.uint64)
+        cursor = jnp.zeros((n_slots,), jnp.int32)
+        off_dev = offsets[:-1]
+        for slots, pos0, valid in chunk_iter:
+            positions, cursor = _scatter_chunk_donated(
+                positions, cursor, off_dev, slots, pos0, valid)
+        return cls(np.asarray(offsets, dtype=np.uint64), np.asarray(positions))
+
+    @classmethod
     def build_dense13(cls, blob: np.ndarray, k: int = 13,
-                      chunk: int = 1 << 22) -> "PositionalIndex":
+                      chunk: int = 1 << 22,
+                      tf: np.ndarray | jax.Array | None = None
+                      ) -> "PositionalIndex":
         """13-mer positional index: slot = forward 2-bit code (the reference
         does a forward-only MPHF lookup per position,
-        /root/reference/src/compute_aindex13.cpp:137-149)."""
-        slot_parts, pos_parts = [], []
-        for piece, off in blob_chunks(blob, k, chunk):
-            base = ascii_to_base_codes(jnp.asarray(piece))
-            codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
-            valid_np = np.asarray(valid)
-            codes_np = np.asarray(codes)[valid_np].astype(np.int64)
-            if codes_np.size:
-                slot_parts.append(codes_np)
-                pos_parts.append(np.flatnonzero(valid_np).astype(np.int64) + off)
-        if not slot_parts:
-            return cls(np.zeros(SPACE_13 + 1, np.uint64), np.zeros(0, np.uint64))
-        return cls.from_slot_positions(np.concatenate(slot_parts),
-                                       np.concatenate(pos_parts), 4 ** k)
+        /root/reference/src/compute_aindex13.cpp:137-149).
+
+        ``tf`` is the dense forward-count table when already built (the
+        pipeline's phase 2 output); recomputed in a first streaming pass
+        otherwise — mirroring the reference, whose CSR sizing also reads the
+        counting phase's .tf.bin (/root/reference/src/compute_aindex13.cpp:59-64).
+        """
+        if tf is None:
+            from aindex_tpu.index.dense13 import Dense13Index
+            tf = Dense13Index.build_from_blob(blob, chunk=chunk).tf
+
+        def chunks():
+            for piece, off in blob_chunks(blob, k, chunk):
+                base = ascii_to_base_codes(jnp.asarray(piece))
+                codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
+                pos0 = jnp.arange(codes.shape[0], dtype=jnp.int64) + off
+                yield codes.astype(jnp.int64), pos0, valid
+
+        return cls._build_streaming(4 ** k, tf, chunks())
 
     @classmethod
     def build_sparse23(cls, blob: np.ndarray, index: Sparse23Index,
                        chunk: int = 1 << 22) -> "PositionalIndex":
         """23-mer positional index: slot = verified canonical MPHF slot
-        (/root/reference/src/hash.cpp:960-1060 lu_compressed_worker)."""
+        (/root/reference/src/hash.cpp:960-1060 lu_compressed_worker). The
+        index's own tf array sizes the CSR; slot -1 (absent / invalid
+        window) occurrences are dropped on device."""
         k = index.k
-        slot_parts, pos_parts = [], []
-        for piece, off in blob_chunks(blob, k, chunk):
-            codes, valid = _extract_windows(jnp.asarray(piece), k)
-            _, slot, _ = index._resolve(codes, valid)
-            slot_np = np.asarray(slot).astype(np.int64)
-            keep = slot_np >= 0
-            if keep.any():
-                slot_parts.append(slot_np[keep])
-                pos_parts.append(np.flatnonzero(keep).astype(np.int64) + off)
-        if not slot_parts:
-            return cls(np.zeros(index.n + 1, np.uint64), np.zeros(0, np.uint64))
-        return cls.from_slot_positions(np.concatenate(slot_parts),
-                                       np.concatenate(pos_parts), index.n)
+
+        def chunks():
+            for piece, off in blob_chunks(blob, k, chunk):
+                codes, valid = _extract_windows(jnp.asarray(piece), k)
+                _, slot, _ = index._resolve(codes, valid)
+                slot = slot.astype(jnp.int64)
+                pos0 = jnp.arange(slot.shape[0], dtype=jnp.int64) + off
+                yield slot, pos0, slot >= 0
+
+        return cls._build_streaming(index.n, index.tf, chunks())
 
     def reorder(self, old_slot_for_new: np.ndarray) -> "PositionalIndex":
         """CSR with rows permuted: new slot j holds old slot

@@ -109,7 +109,8 @@ def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIn
     """Phase 3: positional index -> .index.bin + .indices.bin."""
     t0 = time.time()
     if isinstance(index, Dense13Index):
-        pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk)
+        pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk,
+                                            tf=index.tf)
     else:
         pos = PositionalIndex.build_sparse23(store.blob, index, chunk=cfg.chunk)
     pos.save(cfg.prefix)

@@ -100,3 +100,30 @@ class TestReadsStore:
         again = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
         assert again.n_reads == store.n_reads
         assert again.get_read_by_rid(3) == reads[3]
+
+
+class TestDeviceStreamingBuild:
+    def test_device_matches_host_path(self, store):
+        """The streaming device scatter equals the host argsort oracle."""
+        import jax.numpy as jnp
+        from aindex_tpu.core.reads import blob_chunks
+        from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+        slot_parts, pos_parts = [], []
+        for piece, off in blob_chunks(store.blob, 13, 1 << 12):
+            base = ascii_to_base_codes(jnp.asarray(piece))
+            codes, valid = window_codes(base, 13, out_dtype=jnp.uint32)
+            v = np.asarray(valid)
+            slot_parts.append(np.asarray(codes)[v].astype(np.int64))
+            pos_parts.append(np.flatnonzero(v).astype(np.int64) + off)
+        host = PositionalIndex.from_slot_positions(
+            np.concatenate(slot_parts), np.concatenate(pos_parts), 4 ** 13)
+        dev = PositionalIndex.build_dense13(store.blob, chunk=1 << 12)
+        assert (host.offsets == dev.offsets).all()
+        assert (host.positions == dev.positions).all()
+
+    def test_positions_sorted_within_slot(self, store):
+        dev = PositionalIndex.build_dense13(store.blob, chunk=1 << 12)
+        off = dev.offsets.astype(np.int64)
+        for slot in np.flatnonzero(np.diff(off) > 1)[:50]:
+            seg = dev.positions[off[slot]:off[slot + 1]]
+            assert (np.diff(seg.astype(np.int64)) > 0).all()
