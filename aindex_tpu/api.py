@@ -44,6 +44,29 @@ class AIndex:
         self.reads: ReadsStore | None = None
         self.max_tf = 0
         self._loaded = False
+        self._sharded23 = None  # mesh-resident engine after shard_to()
+
+    # ------------------------------------------------------------------
+    # multi-device placement
+    # ------------------------------------------------------------------
+
+    def shard_to(self, mesh) -> "AIndex":
+        """Place the loaded indexes on a device mesh (SURVEY.md §2.7,
+        BASELINE.md north star): the sparse table's per-slot arrays shard
+        by slot range over the ``index`` axis and tf queries merge with one
+        psum; the dense 13-mer table replicates (it is the cheaper layout —
+        4^13 entries fit every chip's HBM and replication makes queries
+        collective-free). Returns self; subsequent sparse tf queries are
+        served by the sharded engine."""
+        if self.sparse23 is not None:
+            from aindex_tpu.parallel.query23 import ShardedSparse23
+            self._sharded23 = ShardedSparse23(self.sparse23, mesh)
+        if self.dense13 is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.dense13.tf = jax.device_put(
+                self.dense13.tf, NamedSharding(mesh, PartitionSpec()))
+        return self
 
     # ------------------------------------------------------------------
     # loading
@@ -169,20 +192,27 @@ class AIndex:
 
     @staticmethod
     def build_from_sequences(sequences: List[str], kmer_size: int = 23,
-                             build_aindex: bool = True) -> "AIndex":
+                             build_aindex: bool = True,
+                             mesh=None) -> "AIndex":
+        """In-process build. With ``mesh``, the counting phase runs
+        data-parallel over the mesh (psum-merged dense table / key-sharded
+        sparse spectrum) and the built index is placed via ``shard_to``."""
         idx = AIndex()
         store = ReadsStore.from_sequences(sequences)
         idx.reads = store
         if kmer_size == 13:
-            idx.dense13 = Dense13Index.build_from_blob(store.blob)
+            idx.dense13 = Dense13Index.build_from_blob(store.blob, mesh=mesh)
             if build_aindex:
                 idx.pos13 = PositionalIndex.build_dense13(store.blob,
                                                           tf=idx.dense13.tf)
         else:
-            idx.sparse23 = Sparse23Index.build_from_blob(store.blob, k=kmer_size)
+            idx.sparse23 = Sparse23Index.build_from_blob(store.blob,
+                                                         k=kmer_size, mesh=mesh)
             if build_aindex:
                 idx.pos23 = PositionalIndex.build_sparse23(store.blob, idx.sparse23)
         idx._loaded = True
+        if mesh is not None:
+            idx.shard_to(mesh)
         return idx
 
     # ------------------------------------------------------------------
@@ -193,7 +223,8 @@ class AIndex:
         if len(kmer) == K13 and self.dense13 is not None:
             return self.dense13
         if self.sparse23 is not None and len(kmer) == self.sparse23.k:
-            return self.sparse23
+            return self._sharded23 if self._sharded23 is not None \
+                else self.sparse23
         return None
 
     @property

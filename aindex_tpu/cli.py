@@ -60,28 +60,31 @@ def cmd_compute_reads(args) -> int:
 
 
 def cmd_count(args) -> int:
-    from aindex_tpu.core.reads import ReadsStore
-    from aindex_tpu.io.fastq import read_sequences
+    """Count straight off the input files, streaming: sequences feed the
+    device in fixed-size chunks and are never materialised as a Python
+    list, so a multi-GB FASTQ counts in steady memory."""
+    from aindex_tpu.io.fastq import iter_sequence_bytes
     inputs = _split_inputs(args.input)
-    sequences: list[str] = []
-    for path in inputs:
-        sequences.extend(read_sequences(path))
-    store = ReadsStore.from_sequences(sequences)
+
+    def pieces():
+        for path in inputs:
+            yield from iter_sequence_bytes(path)
+
     if args.kmer_size == K13:
         from aindex_tpu.index.dense13 import Dense13Index
         out = args.output if args.output.endswith(".tf.bin") else args.output + ".tf.bin"
         _check_distinct(inputs, [out])
-        index = Dense13Index.build_from_blob(store.blob)
+        index = Dense13Index.build_from_stream(pieces())
         index.save(out)
         s = index.stats()
         print(f"wrote {out}: {s['non_zero_kmers']} distinct 13-mers, "
               f"total {s['total_count']}")
     else:
-        from aindex_tpu.index.sparse23 import count_canonical_kmers
+        from aindex_tpu.index.sparse23 import count_canonical_kmers_stream
         from aindex_tpu.pipeline.build import save_dat
         out = args.output if args.output.endswith(".dat") else args.output + ".dat"
         _check_distinct(inputs, [out])
-        keys, counts = count_canonical_kmers(store.blob, args.kmer_size)
+        keys, counts = count_canonical_kmers_stream(pieces(), args.kmer_size)
         if args.min_count > 1:
             keep = counts >= args.min_count
             keys, counts = keys[keep], counts[keep]
@@ -163,7 +166,11 @@ def cmd_compute_aindex(args) -> int:
     _check_distinct(inputs, [args.output + ".reads"])
     cfg = BuildConfig(prefix=args.output, k=args.kmer_size,
                       min_tf=args.min_count, build_aindex=not args.no_aindex,
-                      keep_dat=args.keep_dat)
+                      keep_dat=args.keep_dat,
+                      n_devices=getattr(args, "devices", None),
+                      progress=getattr(args, "progress", False),
+                      profile_dir=getattr(args, "profile_dir", None),
+                      skip_existing=getattr(args, "skip_existing", False))
     artifacts = build_all(inputs, cfg, read_type=args.type)
     print("pipeline complete:")
     for name, path in artifacts.items():
@@ -283,6 +290,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the positional index phase")
     p.add_argument("--keep-dat", action="store_true",
                    help="also write the text .dat spectrum (sparse mode)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="count on a data-parallel mesh over N devices")
+    p.add_argument("--progress", action="store_true",
+                   help="live per-phase progress (bar on a TTY, log lines "
+                        "otherwise)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the build here")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="resume: skip phases whose output artifacts exist "
+                        "and validate")
     p.set_defaults(func=cmd_compute_aindex)
 
     p = sub.add_parser("compute-aindex-direct",

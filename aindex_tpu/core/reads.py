@@ -140,3 +140,60 @@ def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
             piece = np.concatenate(
                 [piece, np.full(chunk - piece.size, pad_byte, dtype=np.uint8)])
         yield piece, off
+
+
+def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
+                       chunk: int = 1 << 22
+                       ) -> Iterator[tuple[np.ndarray, int]]:
+    """``blob_chunks`` semantics over a byte-piece stream, constant memory.
+
+    ``pieces`` yields uint8 arrays (e.g. one newline-terminated sequence
+    each); chunks come out overlapping by k-1 bytes exactly as if the
+    pieces had been concatenated into one blob first — but only ~one chunk
+    of buffer is ever resident, so counting a multi-GB input holds steady
+    memory (the streaming analogue of the reference's producer thread,
+    /root/reference/src/count_kmers13.cpp:166-183).
+    """
+    step = chunk - (k - 1)
+    pad_byte = ord("\n")
+    buf: list[np.ndarray] = []
+    buffered = 0
+    off = 0
+    for piece in pieces:
+        buf.append(piece)
+        buffered += piece.size
+        while buffered >= chunk:
+            whole = np.concatenate(buf)
+            yield whole[:chunk], off
+            whole = whole[step:]
+            off += step
+            buf, buffered = [whole], whole.size
+    if buffered:
+        tail = np.concatenate(buf)
+        if tail.size > k - 1 or off == 0:
+            padded = np.concatenate(
+                [tail, np.full(chunk - tail.size, pad_byte, dtype=np.uint8)])
+            yield padded, off
+
+
+def blob_chunk_batches(blob: np.ndarray, k: int, chunk: int, rows: int
+                       ) -> Iterator[np.ndarray]:
+    """Group consecutive overlapping chunks into [rows, chunk] batches.
+
+    Each row is one ``blob_chunks`` chunk, so stacking preserves the
+    exactly-once window invariant (a chunk's last k-1 window starts are
+    incomplete/invalid and re-produced by the next chunk). The final batch
+    is padded with all-newline rows (zero valid windows). This is the unit
+    of data-parallel device streaming: the row axis shards over the mesh's
+    ``data`` axis.
+    """
+    batch: list[np.ndarray] = []
+    for piece, _ in blob_chunks(blob, k, chunk):
+        batch.append(piece)
+        if len(batch) == rows:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        pad = np.full((rows - len(batch), chunk), ord("\n"), dtype=np.uint8)
+        yield np.concatenate([np.stack(batch), pad]) if pad.size \
+            else np.stack(batch)

@@ -32,6 +32,40 @@ _count_step = jax.jit(
 )
 
 
+def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
+                        on_progress=None) -> jax.Array:
+    """Mesh-streamed dense count: [n_data, chunk] batches, psum-merged.
+
+    The double-buffered device_put overlaps the host blob slicing + H2D copy
+    of batch i+1 with the device compute of batch i — the TPU analogue of the
+    reference's producer-thread input queue
+    (/root/reference/src/count_kmers13.cpp:166-183)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from aindex_tpu.core.reads import blob_chunk_batches
+    from aindex_tpu.parallel.count13 import count13_sharded_accumulate
+    from aindex_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    data_spec = NamedSharding(mesh, P(DATA_AXIS))
+    counts = jax.device_put(jnp.zeros((SPACE_13,), jnp.uint32),
+                            NamedSharding(mesh, P()))
+    pending = None
+    done = 0
+    step = (chunk - 12) * n_data                 # bytes advanced per batch
+    for batch in blob_chunk_batches(blob, K13, chunk, n_data):
+        nxt = jax.device_put(batch, data_spec)   # async H2D of batch i+1
+        if pending is not None:
+            counts = count13_sharded_accumulate(counts, pending, mesh=mesh)
+        pending = nxt
+        done = min(done + step, blob.size)
+        if on_progress is not None:
+            on_progress(done)
+    if pending is not None:
+        counts = count13_sharded_accumulate(counts, pending, mesh=mesh)
+    counts.block_until_ready()
+    return counts
+
+
 @jax.jit
 def _build_total_table(tf: jax.Array) -> jax.Array:
     """tf + tf permuted by the revcomp involution (one-time table fusion)."""
@@ -99,17 +133,53 @@ class Dense13Index:
     # -- construction --------------------------------------------------
 
     @classmethod
-    def build_from_blob(cls, blob: np.ndarray, chunk: int = 1 << 22) -> "Dense13Index":
+    def build_from_blob(cls, blob: np.ndarray, chunk: int = 1 << 22,
+                        mesh=None, on_progress=None) -> "Dense13Index":
         """Count all forward-strand 13-mers of a concatenated sequence blob.
 
         The blob is streamed through the device in fixed-size overlapping
         chunks; separators/newlines/N's invalidate their windows on device.
+
+        With ``mesh``, each batch of ``data``-axis-many chunks counts
+        data-parallel and merges with one psum into the replicated table
+        (the mesh-scale replacement for the reference's shared atomic table,
+        /root/reference/src/count_kmers13.cpp:141-160). Host->device copies
+        are double-buffered: batch i+1 transfers while batch i computes.
         """
+        if mesh is not None:
+            return cls(_count_blob_sharded(blob, mesh, chunk, on_progress))
+        total = blob.size
+        return cls._count_chunk_iter(
+            ((p, min(o + chunk, total)) for p, o in blob_chunks(blob, K13, chunk)),
+            on_progress)
+
+    @classmethod
+    def _count_chunk_iter(cls, chunk_iter, on_progress=None) -> "Dense13Index":
+        """Double-buffered count over (chunk, bytes_done) pairs: the H2D
+        copy of chunk i+1 overlaps the device compute of chunk i."""
         counts = jnp.zeros((SPACE_13,), dtype=jnp.uint32)
-        for piece, _ in blob_chunks(blob, K13, chunk):
-            counts = _count_step(counts, jnp.asarray(piece))
+        pending = None
+        for piece, done in chunk_iter:
+            nxt = jax.device_put(piece)          # async H2D
+            if pending is not None:
+                counts = _count_step(counts, pending)
+            pending = nxt
+            if on_progress is not None:
+                on_progress(done)
+        if pending is not None:
+            counts = _count_step(counts, pending)
         counts.block_until_ready()
         return cls(counts)
+
+    @classmethod
+    def build_from_stream(cls, pieces, chunk: int = 1 << 22,
+                          on_progress=None) -> "Dense13Index":
+        """Count from a stream of newline-terminated sequence byte pieces
+        (constant memory — the CLI ``count`` path for multi-GB inputs)."""
+        from aindex_tpu.core.reads import stream_blob_chunks
+        return cls._count_chunk_iter(
+            ((p, o + chunk) for p, o in stream_blob_chunks(pieces, K13, chunk)),
+            on_progress)
 
     @classmethod
     def build_from_sequences(cls, sequences: list[str], chunk: int = 1 << 22) -> "Dense13Index":

@@ -134,8 +134,8 @@ class PositionalIndex:
     @classmethod
     def build_dense13(cls, blob: np.ndarray, k: int = 13,
                       chunk: int = 1 << 22,
-                      tf: np.ndarray | jax.Array | None = None
-                      ) -> "PositionalIndex":
+                      tf: np.ndarray | jax.Array | None = None,
+                      on_progress=None) -> "PositionalIndex":
         """13-mer positional index: slot = forward 2-bit code (the reference
         does a forward-only MPHF lookup per position,
         /root/reference/src/compute_aindex13.cpp:137-149).
@@ -154,13 +154,16 @@ class PositionalIndex:
                 base = ascii_to_base_codes(jnp.asarray(piece))
                 codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
                 pos0 = jnp.arange(codes.shape[0], dtype=jnp.int64) + off
+                if on_progress is not None:
+                    on_progress(min(off + chunk, blob.size))
                 yield codes.astype(jnp.int64), pos0, valid
 
         return cls._build_streaming(4 ** k, tf, chunks())
 
     @classmethod
     def build_sparse23(cls, blob: np.ndarray, index: Sparse23Index,
-                       chunk: int = 1 << 22) -> "PositionalIndex":
+                       chunk: int = 1 << 22,
+                       on_progress=None) -> "PositionalIndex":
         """23-mer positional index: slot = verified canonical MPHF slot
         (/root/reference/src/hash.cpp:960-1060 lu_compressed_worker). The
         index's own tf array sizes the CSR; slot -1 (absent / invalid
@@ -173,6 +176,8 @@ class PositionalIndex:
                 _, slot, _ = index._resolve(codes, valid)
                 slot = slot.astype(jnp.int64)
                 pos0 = jnp.arange(slot.shape[0], dtype=jnp.int64) + off
+                if on_progress is not None:
+                    on_progress(min(off + chunk, blob.size))
                 yield slot, pos0, slot >= 0
 
         return cls._build_streaming(index.n, index.tf, chunks())

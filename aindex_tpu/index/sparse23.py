@@ -61,14 +61,17 @@ def _is_reference_mphf(mphf) -> bool:
 
 
 def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
-                          reduce: str = "device"
+                          reduce: str = "device", mesh=None, on_progress=None
                           ) -> tuple[np.ndarray, np.ndarray]:
     """(unique canonical codes, counts) over all valid windows of the blob.
 
     Deterministic, race-free replacement for the reference's thread-local
     hash maps + merge (/root/reference/src/count_kmers.cpp:47-64,334-341;
-    SURVEY.md section 2.7). Two reduction backends:
+    SURVEY.md section 2.7). Reduction backends:
 
+    * ``mesh`` given: data-parallel multi-device reduction, key-range
+      sharded with one all_gather per batch
+      (aindex_tpu.parallel.spectrum23);
     * ``reduce="device"`` (default): per-chunk sort + segment-reduce entirely
       on device (aindex_tpu.kernels.spectrum) — only the already-unique
       partial spectra come back to the host;
@@ -76,10 +79,14 @@ def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
       path; also the reference for testing the device reduction).
     """
     from aindex_tpu.kernels.spectrum import chunk_spectrum, merge_spectra
+    if mesh is not None:
+        from aindex_tpu.parallel.spectrum23 import count_canonical_kmers_sharded
+        return count_canonical_kmers_sharded(blob, mesh, k, chunk,
+                                             on_progress=on_progress)
     if reduce not in ("device", "host"):
         raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
     parts: list[tuple[np.ndarray, np.ndarray]] = []
-    for piece, _ in blob_chunks(blob, k, chunk):
+    for piece, off in blob_chunks(blob, k, chunk):
         if reduce == "device":
             keys, counts, n_unique = chunk_spectrum(jnp.asarray(piece), k)
             n = int(n_unique)
@@ -90,6 +97,29 @@ def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
             canon_np = np.asarray(canon)[np.asarray(valid)]
             if canon_np.size:
                 parts.append(np.unique(canon_np, return_counts=True))
+        if on_progress is not None:
+            on_progress(min(off + chunk, blob.size))
+    return merge_spectra(parts)
+
+
+def count_canonical_kmers_stream(pieces, k: int = K23, chunk: int = 1 << 22,
+                                 on_progress=None
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming spectrum over newline-terminated sequence byte pieces.
+
+    Constant host memory: only ~one chunk of input plus the per-chunk
+    unique partial spectra are ever resident (the CLI `count` path for
+    multi-GB inputs; contrast read_sequences' full string list)."""
+    from aindex_tpu.core.reads import stream_blob_chunks
+    from aindex_tpu.kernels.spectrum import chunk_spectrum, merge_spectra
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for piece, off in stream_blob_chunks(pieces, k, chunk):
+        keys, counts, n_unique = chunk_spectrum(jnp.asarray(piece), k)
+        n = int(n_unique)
+        if n:
+            parts.append((np.asarray(keys[:n]), np.asarray(counts[:n])))
+        if on_progress is not None:
+            on_progress(off + chunk)
     return merge_spectra(parts)
 
 
@@ -196,8 +226,9 @@ class Sparse23Index:
 
     @classmethod
     def build_from_blob(cls, blob: np.ndarray, k: int = K23,
-                        min_tf: int = 1, chunk: int = 1 << 22) -> "Sparse23Index":
-        keys, counts = count_canonical_kmers(blob, k, chunk)
+                        min_tf: int = 1, chunk: int = 1 << 22,
+                        mesh=None) -> "Sparse23Index":
+        keys, counts = count_canonical_kmers(blob, k, chunk, mesh=mesh)
         if min_tf > 1:
             keep = counts >= min_tf
             keys, counts = keys[keep], counts[keep]

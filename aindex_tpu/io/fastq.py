@@ -71,6 +71,29 @@ def read_sequences(path: str, fmt: str | None = None) -> list[str]:
     return seqs
 
 
+def iter_sequence_bytes(path: str, fmt: str | None = None):
+    """Yield each sequence as a newline-terminated uint8 array, streaming.
+
+    The constant-memory feed for ``stream_blob_chunks`` — counting a
+    multi-GB input never materialises the sequence list (unlike
+    ``read_sequences``)."""
+    fmt = fmt or sniff_format(path)
+    if fmt == "fasta":
+        it = (seq for _, seq in iter_fasta(path))
+    elif fmt == "fastq":
+        it = (seq for _, seq in iter_fastq(path))
+    else:
+        def plain():
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield line
+        it = plain()
+    for seq in it:
+        yield np.frombuffer((seq + "\n").encode("ascii"), dtype=np.uint8)
+
+
 def compute_reads(input1: str, input2: str | None, read_type: str,
                   output_prefix: str, use_native: bool | None = None) -> dict:
     """FASTQ(PE/SE)/FASTA/plain -> <prefix>.reads + .ridx (+ .header).

@@ -63,6 +63,29 @@ def sorted_spectrum(keyed: jax.Array):
     return keys, counts, n_unique
 
 
+@jax.jit
+def sorted_spectrum_weighted(keys: jax.Array, weights: jax.Array):
+    """Segment-reduce (key, count) pairs (SENTINEL key = ignore).
+
+    The merge step of the sharded multi-device spectrum: inputs are
+    already-reduced partial spectra, so each key carries a count. Returns
+    (keys[N], counts[N], n_unique) with unique keys sorted ascending.
+    """
+    order = jnp.argsort(keys)
+    s = keys[order]
+    w = weights[order].astype(jnp.uint64)
+    n = s.shape[0]
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    live = s != SENTINEL
+    counts = jnp.zeros((n,), jnp.uint64).at[seg].add(
+        jnp.where(live, w, jnp.uint64(0)), mode="drop")
+    keys_out = jnp.full((n,), SENTINEL, dtype=jnp.uint64).at[seg].min(
+        jnp.where(live, s, SENTINEL), mode="drop")
+    n_unique = jnp.sum(is_new & live).astype(jnp.int32)
+    return keys_out, counts, n_unique
+
+
 def merge_spectra(parts: list[tuple[np.ndarray, np.ndarray]]
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Merge per-chunk (sorted unique keys, counts) partial spectra.

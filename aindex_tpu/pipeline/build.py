@@ -35,7 +35,12 @@ logger = logging.getLogger("aindex_tpu.pipeline")
 @dataclasses.dataclass
 class BuildConfig:
     """One typed config for the whole pipeline (the reference's settings are
-    three uncoordinated layers of globals/argv — SURVEY.md §5)."""
+    three uncoordinated layers of globals/argv — SURVEY.md §5).
+
+    ``mesh`` switches the counting phases to the data-parallel multi-device
+    paths (psum-merged dense table / key-sharded sparse spectrum); None =
+    single device. ``n_devices`` is the CLI-friendly alternative: build a
+    data-axis mesh over that many devices at pipeline start."""
     prefix: str
     k: int = K23
     min_tf: int = 1
@@ -43,21 +48,50 @@ class BuildConfig:
     keep_dat: bool = False
     chunk: int = 1 << 22
     lowercase_ok: bool = True
+    mesh: object | None = None
+    n_devices: int | None = None
+    progress: bool = False        # live per-phase progress bars / log lines
+    profile_dir: str | None = None  # jax.profiler trace output (opt-in)
+    skip_existing: bool = False   # artifact-gated resume (reference
+    # pipeline gates each stage on its outputs,
+    # /root/reference/scripts/compute_aindex.py:185-228)
+
+    def resolve_mesh(self):
+        if self.mesh is None and self.n_devices is not None:
+            from aindex_tpu.parallel.mesh import make_mesh
+            import jax
+            n = min(self.n_devices, len(jax.devices()))
+            self.mesh = make_mesh(n_data=n)
+        return self.mesh
 
 
-def prepare_reads(inputs: list[str], read_type: str | None, prefix: str) -> ReadsStore:
+def _artifacts_ok(*paths: str, min_size: int = 1) -> bool:
+    """True when every artifact exists and is non-trivially sized — the
+    gate condition the reference pipeline checks before each stage
+    (/root/reference/scripts/compute_aindex.py:185-187,210-212,226-228)."""
+    return all(os.path.exists(p) and os.path.getsize(p) >= min_size
+               for p in paths)
+
+
+def prepare_reads(inputs: list[str], read_type: str | None, prefix: str,
+                  skip_existing: bool = False) -> ReadsStore:
     """Phase 1: raw input file(s) -> <prefix>.reads + .ridx (+ .header).
 
     ``inputs`` is 1 file (se/fasta/reads) or 2 (paired fastq). Format is
     sniffed when ``read_type`` is None (aindex/cli.py:380-399 semantics).
     """
+    t0 = time.time()
+    if skip_existing and _artifacts_ok(prefix + ".reads", prefix + ".ridx"):
+        store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
+        logger.info("prepare_reads: resumed from existing artifacts "
+                    "(%d reads, %d bytes)", store.n_reads, store.reads_size)
+        return store
     if read_type is None:
         fmt = io_fastq.sniff_format(inputs[0])
         if fmt == "fastq":
             read_type = "fastq" if len(inputs) == 2 else "se"
         else:
             read_type = fmt
-    t0 = time.time()
     if len(inputs) > 2:
         raise ValueError("at most two input files (paired-end) supported")
     io_fastq.compute_reads(inputs[0], inputs[1] if len(inputs) == 2 else None,
@@ -81,11 +115,28 @@ def save_dat(keys: np.ndarray, counts: np.ndarray, k: int, path: str) -> None:
             f.write("".join(f"{km}\t{int(tf)}\n" for km, tf in zip(kmers, tfs)))
 
 
+def _phase_progress(cfg: BuildConfig, total: int, label: str):
+    from aindex_tpu.pipeline.progress import make_progress
+    return make_progress(total, label, cfg.progress)
+
+
 def build_dense13(store: ReadsStore, cfg: BuildConfig) -> Dense13Index:
     """Phase 2a (13-mer): dense count -> <prefix>.tf.bin (uint64 x 4^13)."""
     t0 = time.time()
-    index = Dense13Index.build_from_blob(store.blob, chunk=cfg.chunk)
-    index.save(cfg.prefix + ".tf.bin")
+    from aindex_tpu.constants import SPACE_13
+    tf_path = cfg.prefix + ".tf.bin"
+    if cfg.skip_existing and _artifacts_ok(tf_path) \
+            and os.path.getsize(tf_path) == SPACE_13 * 8:
+        index = Dense13Index.load(tf_path)
+        logger.info("build_dense13: resumed from %s", tf_path)
+        return index
+    prog = _phase_progress(cfg, store.reads_size, "count 13-mers")
+    index = Dense13Index.build_from_blob(
+        store.blob, chunk=cfg.chunk, mesh=cfg.resolve_mesh(),
+        on_progress=prog.step if prog else None)
+    if prog:
+        prog.close()
+    index.save(tf_path)
     logger.info("build_dense13: %s (%.2fs)", index.stats(), time.time() - t0)
     return index
 
@@ -93,7 +144,22 @@ def build_dense13(store: ReadsStore, cfg: BuildConfig) -> Dense13Index:
 def build_sparse(store: ReadsStore, cfg: BuildConfig) -> Sparse23Index:
     """Phase 2b (sparse k): canonical count -> MPHF -> .pf/.tf.bin/.kmers.bin."""
     t0 = time.time()
-    keys, counts = count_canonical_kmers(store.blob, cfg.k, cfg.chunk)
+    triple = (cfg.prefix + ".pf", cfg.prefix + ".tf.bin",
+              cfg.prefix + ".kmers.bin")
+    if cfg.skip_existing and _artifacts_ok(*triple):
+        try:
+            index = Sparse23Index.load(cfg.prefix, cfg.k)
+            logger.info("build_sparse: resumed from %s.{pf,tf.bin,kmers.bin}",
+                        cfg.prefix)
+            return index
+        except ValueError as e:  # inconsistent artifacts: rebuild
+            logger.warning("build_sparse: stale artifacts (%s); rebuilding", e)
+    prog = _phase_progress(cfg, store.reads_size, f"count {cfg.k}-mers")
+    keys, counts = count_canonical_kmers(
+        store.blob, cfg.k, cfg.chunk, mesh=cfg.resolve_mesh(),
+        on_progress=prog.step if prog else None)
+    if prog:
+        prog.close()
     if cfg.min_tf > 1:
         keep = counts >= cfg.min_tf
         keys, counts = keys[keep], counts[keep]
@@ -108,11 +174,27 @@ def build_sparse(store: ReadsStore, cfg: BuildConfig) -> Sparse23Index:
 def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIndex:
     """Phase 3: positional index -> .index.bin + .indices.bin."""
     t0 = time.time()
+    idx_path = cfg.prefix + ".index.bin"
+    ind_path = cfg.prefix + ".indices.bin"
+    if cfg.skip_existing and _artifacts_ok(idx_path, ind_path, min_size=8):
+        n_slots = (4 ** K13 if isinstance(index, Dense13Index) else index.n)
+        offsets = np.fromfile(ind_path, dtype=np.uint64)
+        if len(offsets) == n_slots + 1 and \
+                os.path.getsize(idx_path) == int(offsets[-1]) * 8:
+            pos = PositionalIndex.load(idx_path, ind_path)
+            logger.info("build_positional: resumed from %s", idx_path)
+            return pos
+        logger.warning("build_positional: stale artifacts; rebuilding")
+    prog = _phase_progress(cfg, store.reads_size, "positional index")
+    cb = prog.step if prog else None
     if isinstance(index, Dense13Index):
         pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk,
-                                            tf=index.tf)
+                                            tf=index.tf, on_progress=cb)
     else:
-        pos = PositionalIndex.build_sparse23(store.blob, index, chunk=cfg.chunk)
+        pos = PositionalIndex.build_sparse23(store.blob, index,
+                                             chunk=cfg.chunk, on_progress=cb)
+    if prog:
+        prog.close()
     pos.save(cfg.prefix)
     logger.info("build_positional: %d positions (%.2fs)", pos.total,
                 time.time() - t0)
@@ -122,25 +204,37 @@ def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIn
 def build_all(inputs: list[str], cfg: BuildConfig,
               read_type: str | None = None) -> dict:
     """The full pipeline (CLI `compute-aindex` equivalent,
-    scripts/compute_aindex.py in the reference)."""
+    scripts/compute_aindex.py in the reference). With
+    ``cfg.skip_existing``, each phase is gated on its output artifacts and
+    resumes from them — rerunning a finished build is a no-op. With
+    ``cfg.profile_dir``, the whole build runs under a jax.profiler trace
+    (view with TensorBoard / xprof)."""
+    import contextlib
     out_dir = os.path.dirname(cfg.prefix)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    store = prepare_reads(inputs, read_type, cfg.prefix)
-    if cfg.k == K13:
-        index = build_dense13(store, cfg)
+    if cfg.profile_dir:
+        import jax
+        trace_cm = jax.profiler.trace(cfg.profile_dir)
     else:
-        index = build_sparse(store, cfg)
-    artifacts = {
-        "reads": cfg.prefix + ".reads",
-        "ridx": cfg.prefix + ".ridx",
-        "tf": cfg.prefix + ".tf.bin",
-    }
-    if cfg.k != K13:
-        artifacts["pf"] = cfg.prefix + ".pf"
-        artifacts["kmers"] = cfg.prefix + ".kmers.bin"
-    if cfg.build_aindex:
-        build_positional(store, index, cfg)
-        artifacts["index"] = cfg.prefix + ".index.bin"
-        artifacts["indices"] = cfg.prefix + ".indices.bin"
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        store = prepare_reads(inputs, read_type, cfg.prefix,
+                              skip_existing=cfg.skip_existing)
+        if cfg.k == K13:
+            index = build_dense13(store, cfg)
+        else:
+            index = build_sparse(store, cfg)
+        artifacts = {
+            "reads": cfg.prefix + ".reads",
+            "ridx": cfg.prefix + ".ridx",
+            "tf": cfg.prefix + ".tf.bin",
+        }
+        if cfg.k != K13:
+            artifacts["pf"] = cfg.prefix + ".pf"
+            artifacts["kmers"] = cfg.prefix + ".kmers.bin"
+        if cfg.build_aindex:
+            build_positional(store, index, cfg)
+            artifacts["index"] = cfg.prefix + ".index.bin"
+            artifacts["indices"] = cfg.prefix + ".indices.bin"
     return artifacts

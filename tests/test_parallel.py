@@ -104,3 +104,58 @@ class TestDistributedHelpers:
         from aindex_tpu.parallel import distributed
         sl = distributed.host_read_slice(10)
         assert sl == slice(0, 10)  # single process owns everything
+
+
+class TestMeshWiredProduct:
+    """The multi-device paths reachable from PUBLIC entry points
+    (VERDICT round 2 item 1): build_from_blob(mesh=), count_canonical_kmers
+    (mesh=), AIndex.build_from_sequences(mesh=) + shard_to."""
+
+    def test_dense13_build_from_blob_mesh_parity(self, reads, eight_devices):
+        store = ReadsStore.from_sequences(reads)
+        single = Dense13Index.build_from_blob(store.blob)
+        for n in (2, 8):
+            mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+            sharded = Dense13Index.build_from_blob(store.blob, chunk=256,
+                                                   mesh=mesh)
+            assert (sharded.tf_host == single.tf_host).all()
+
+    def test_sharded_spectrum_parity(self, reads, eight_devices):
+        from aindex_tpu.index.sparse23 import count_canonical_kmers
+        store = ReadsStore.from_sequences(reads)
+        k1, c1 = count_canonical_kmers(store.blob, 23)
+        for n in (2, 8):
+            mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+            k2, c2 = count_canonical_kmers(store.blob, 23, chunk=256,
+                                           mesh=mesh)
+            assert (k1 == k2).all()
+            assert (c1.astype(np.uint64) == c2.astype(np.uint64)).all()
+
+    def test_aindex_facade_mesh_build_and_query(self, reads, eight_devices):
+        from aindex_tpu.api import AIndex
+        mesh = make_mesh(n_data=4, n_index=2, devices=eight_devices)
+        idx = AIndex.build_from_sequences(reads, kmer_size=23,
+                                          build_aindex=False, mesh=mesh)
+        assert idx._sharded23 is not None
+        golden = oracle.count_canonical(reads, 23)
+        kmers = sorted(golden)[:200]
+        assert idx.get_tf_values(kmers) == [golden[km] for km in kmers]
+
+    def test_pipeline_build_all_with_mesh(self, reads, eight_devices,
+                                          tmp_path):
+        from aindex_tpu.api import AIndex
+        from aindex_tpu.pipeline.build import BuildConfig, build_all
+        fa = tmp_path / "in.fa"
+        fa.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)
+                              if "~" not in r))
+        mesh = make_mesh(n_data=8, devices=eight_devices)
+        prefix = str(tmp_path / "m.23")
+        cfg = BuildConfig(prefix=prefix, k=23, chunk=512, mesh=mesh)
+        build_all([str(fa)], cfg)
+        idx = AIndex.load_from_prefix(prefix)
+        single = AIndex.build_from_sequences(
+            [r for r in reads if "~" not in r], kmer_size=23)
+        golden_kmers = sorted(oracle.count_canonical(
+            [r for r in reads if "~" not in r], 23))[:100]
+        assert idx.get_tf_values(golden_kmers) == \
+            single.get_tf_values(golden_kmers)
