@@ -154,6 +154,49 @@ class AIndex:
                 logger.warning("reads file not found for %s", prefix)
         return idx
 
+    @staticmethod
+    def load_from_prefix_13mer(prefix: str, load_aindex: bool = True,
+                               load_reads: bool = False) -> "AIndex":
+        """13-mer prefix convenience (load_from_prefix_13mer,
+        /root/reference/src/python_wrapper.cpp:1103-1132)."""
+        return AIndex.load_from_prefix(prefix, kmer_size=13,
+                                       load_aindex=load_aindex,
+                                       load_reads=load_reads)
+
+    @staticmethod
+    def load_from_prefix_23mer(prefix: str, max_tf: int = 100000,
+                               load_aindex: bool = True,
+                               load_reads: bool = False) -> "AIndex":
+        """23-mer prefix convenience (load_from_prefix_23mer,
+        /root/reference/src/python_wrapper.cpp:1103-1132)."""
+        return AIndex.load_from_prefix(prefix, kmer_size=23, max_tf=max_tf,
+                                       load_aindex=load_aindex,
+                                       load_reads=load_reads)
+
+    def load(self, hash_file: str, tf_file: str, kmers_bin_file: str,
+             kmers_text_file: str = "") -> None:
+        """Load the 23-mer index from explicit artifact paths (the wrapper's
+        ``load``, /root/reference/src/python_wrapper.cpp:228-245; the text
+        k-mers file is accepted and ignored, as there)."""
+        self.sparse23 = Sparse23Index.load_files(hash_file, tf_file,
+                                                 kmers_bin_file)
+        self._loaded = True
+
+    load_hash_file = load
+
+    def load_aindex_from_prefix_13mer(self, prefix: str) -> None:
+        """/root/reference/src/python_wrapper.cpp:1156-1216."""
+        self.load_13mer_aindex(prefix + ".index.bin", prefix + ".indices.bin")
+
+    def load_aindex_from_prefix_23mer(self, prefix: str,
+                                      max_tf: int = 100000,
+                                      reads_file: str = "") -> None:
+        """/root/reference/src/python_wrapper.cpp:1134-1154."""
+        self.load_aindex(prefix + ".index.bin", prefix + ".indices.bin",
+                         max_tf)
+        if reads_file:
+            self.load_reads(reads_file)
+
     def load_13mer_index(self, tf_file: str, pf_file: str | None = None) -> None:
         if not os.path.exists(tf_file):
             raise FileNotFoundError(f"13-mer tf file not found: {tf_file}")
@@ -185,6 +228,25 @@ class AIndex:
             cand = os.path.splitext(reads_file)[0] + ".ridx"
             ridx_file = cand if os.path.exists(cand) else None
         self.reads = ReadsStore.from_reads_file(reads_file, ridx_file, header_file)
+
+    # the engine always holds the blob in memory (the reference's mmap vs
+    # in-memory distinction, /root/reference/src/python_wrapper.cpp:324-359)
+    load_reads_in_memory = load_reads
+
+    def load_reads_index(self, index_file: str,
+                         header_file: str | None = None) -> None:
+        """(Re)build the read-offset index from a .ridx (+ optional .header)
+        for the already-loaded blob (aindex/core/aindex.py:101-130)."""
+        self._require(self.reads, "reads")
+        rows = np.loadtxt(index_file, dtype=np.int64, ndmin=2)
+        self.reads.starts = rows[:, 1].copy()
+        self.reads.ends = rows[:, 2].copy()
+        if header_file and os.path.exists(header_file):
+            headers = []
+            with open(header_file) as fh:
+                for line in fh:
+                    headers.append(line.rstrip("\n").split("\t")[0])
+            self.reads.headers = headers
 
     # ------------------------------------------------------------------
     # build (no subprocess pipeline needed for the in-process path)
@@ -298,6 +360,29 @@ class AIndex:
         fwd, rc = self.dense13.get_tf_both_directions(kmers)
         return list(zip(fwd.tolist(), rc.tolist()))
 
+    def get_tf_values_23mer(self, kmers: List[str]) -> List[int]:
+        self._require(self.sparse23, "23-mer index")
+        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        return [int(v) for v in engine.get_tf_values(kmers)]
+
+    def get_total_tf_value_23mer(self, kmer: str) -> int:
+        """fwd tf + revcomp tf. Both orientations resolve to the same
+        canonical slot, so a present 23-mer totals 2x tf (23 is odd — no
+        palindromic k-mers); matches the reference's two-probe sum
+        (/root/reference/src/python_wrapper.cpp:1230-1251)."""
+        return self.get_total_tf_values_23mer([kmer])[0]
+
+    def get_total_tf_values_23mer(self, kmers: List[str]) -> List[int]:
+        self._require(self.sparse23, "23-mer index")
+        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        return [2 * int(v) for v in engine.get_tf_values(kmers)]
+
+    def get_reverse_complement_13mer(self, kmer: str) -> str:
+        return codec.revcomp(kmer)
+
+    def get_reverse_complement_23mer(self, kmer: str) -> str:
+        return codec.revcomp(kmer)
+
     def get_tf_both_directions_23mer(self, kmer: str) -> Tuple[int, int]:
         self._require(self.sparse23, "23-mer index")
         fwd, rc = self.sparse23.get_tf_both_directions([kmer])
@@ -406,6 +491,31 @@ class AIndex:
 
     def pos(self, kmer: str) -> List[int]:
         return self.get_positions(kmer)
+
+    def get_positions_batch(self, kmers: List[str]) -> List[List[int]]:
+        """Positions for many k-mers in one vectorised pass (the reference
+        loops get_positions per k-mer — its position-analysis bottleneck,
+        /root/reference/src/python_wrapper.cpp:800-822). Same-length batch;
+        dispatches like get_positions."""
+        if not kmers:
+            return []
+        k0 = len(kmers[0])
+        if any(len(km) != k0 for km in kmers):
+            raise ValueError("get_positions_batch: mixed k-mer lengths")
+        if k0 == K13 and self.pos13 is not None:
+            codes, valid = codec.encode_kmers(kmers, K13)
+            slots = np.where(valid, codes.astype(np.int64), -1)
+            pindex = self.pos13
+        elif self.pos23 is not None and self.sparse23 is not None \
+                and k0 == self.sparse23.k:
+            slots = self.sparse23.get_pfids(kmers).astype(np.int64)
+            slots = np.where(slots >= self.sparse23.n, -1, slots)
+            pindex = self.pos23
+        else:
+            return [[] for _ in kmers]
+        flat, lens = pindex.positions_by_slots(slots)
+        splits = np.split(flat, np.cumsum(lens)[:-1])
+        return [[int(p) for p in s] for s in splits]
 
     def get_rid(self, pos: int) -> int:
         self._require(self.reads, "reads")

@@ -83,8 +83,15 @@ def encode_kmers(kmers: list[str] | np.ndarray, k: int) -> tuple[np.ndarray, np.
         joined = "".join(kmers)
         mat = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(-1, k)
     base = BASE_LUT[mat]
-    valid = ~np.any(base == INVALID_CODE, axis=1)
-    codes = (base.astype(np.uint64) & np.uint64(3)) @ _POWERS64[32 - k:]
+    # max-reduce beats any(== INVALID): INVALID_CODE is the uint8 maximum
+    valid = base.max(axis=1) != INVALID_CODE
+    if k <= 26:
+        # BLAS float64 matmul, exact while max code 4^k < 2^53 — ~2.5x the
+        # integer matmul (numpy has no BLAS path for uint64)
+        codes = ((base & 3).astype(np.float64)
+                 @ _POWERS64[32 - k:].astype(np.float64)).astype(np.uint64)
+    else:
+        codes = (base.astype(np.uint64) & np.uint64(3)) @ _POWERS64[32 - k:]
     return codes, valid
 
 

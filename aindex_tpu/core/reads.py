@@ -132,6 +132,11 @@ def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
     """
     if blob.size == 0:
         return
+    if blob.size < chunk:
+        # tighten the (single) chunk to the blob: padding a 3 MB blob out
+        # to a 16 MB default chunk would spend 5x the kernel time on
+        # newline filler (shape stays 128-aligned for TPU tiling)
+        chunk = max(-(-blob.size // 128) * 128, k + 127)
     step = chunk - (k - 1)
     pad_byte = ord("\n")
     for off in range(0, max(blob.size - (k - 1), 1), step):
@@ -171,6 +176,9 @@ def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
     if buffered:
         tail = np.concatenate(buf)
         if tail.size > k - 1 or off == 0:
+            if off == 0:
+                # single-chunk stream: tighten like blob_chunks does
+                chunk = max(-(-tail.size // 128) * 128, k + 127)
             padded = np.concatenate(
                 [tail, np.full(chunk - tail.size, pad_byte, dtype=np.uint8)])
             yield padded, off
@@ -194,6 +202,7 @@ def blob_chunk_batches(blob: np.ndarray, k: int, chunk: int, rows: int
             yield np.stack(batch)
             batch = []
     if batch:
-        pad = np.full((rows - len(batch), chunk), ord("\n"), dtype=np.uint8)
+        width = batch[0].size  # blob_chunks may tighten chunk for small blobs
+        pad = np.full((rows - len(batch), width), ord("\n"), dtype=np.uint8)
         yield np.concatenate([np.stack(batch), pad]) if pad.size \
             else np.stack(batch)

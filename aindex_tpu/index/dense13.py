@@ -47,7 +47,7 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
 
     n_data = mesh.shape[DATA_AXIS]
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
-    counts = jax.device_put(jnp.zeros((SPACE_13,), jnp.uint32),
+    counts = jax.device_put(np.zeros((SPACE_13,), np.uint32),
                             NamedSharding(mesh, P()))
     pending = None
     done = 0
@@ -73,6 +73,17 @@ def _build_total_table(tf: jax.Array) -> jax.Array:
     codes = jnp.arange(SPACE_13, dtype=jnp.uint32)
     rc = revcomp_code13(codes, K13)
     return tf + tf[rc.astype(jnp.int32)]
+
+
+@jax.jit
+def _encode_batch_dev(mat: jax.Array):
+    """[B, 13] ASCII -> (codes[B] uint32, valid[B]) on device — for large
+    query batches, shipping raw ASCII and encoding on the VPU beats the
+    host BLAS encode (the window kernel with exactly one window per row)."""
+    from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+    base = ascii_to_base_codes(mat)
+    codes, valid = window_codes(base, K13, out_dtype=jnp.uint32)
+    return codes.reshape(-1), valid.reshape(-1)
 
 
 @jax.jit
@@ -157,7 +168,8 @@ class Dense13Index:
     def _count_chunk_iter(cls, chunk_iter, on_progress=None) -> "Dense13Index":
         """Double-buffered count over (chunk, bytes_done) pairs: the H2D
         copy of chunk i+1 overlaps the device compute of chunk i."""
-        counts = jnp.zeros((SPACE_13,), dtype=jnp.uint32)
+        from aindex_tpu.kernels.count import zeros_dev
+        counts = zeros_dev((SPACE_13,), jnp.uint32)
         pending = None
         for piece, done in chunk_iter:
             nxt = jax.device_put(piece)          # async H2D
@@ -213,7 +225,21 @@ class Dense13Index:
 
     # -- host-side helpers ----------------------------------------------
 
-    def _encode(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    #: batch size from which string->code encoding moves to the device.
+    #: None = always encode on host: shipping raw ASCII costs 3.25x the
+    #: H2D bytes of uint32 codes, and on the PCIe-less tunneled dev chip
+    #: (~55 MB/s fenced H2D) that transfer dominates — measured slower than
+    #: the host BLAS encode at every batch size. Set on real hosts if
+    #: profiling shows otherwise.
+    DEVICE_ENCODE_MIN: int | None = None
+
+    def _encode(self, kmers: list[str]):
+        if self.DEVICE_ENCODE_MIN is not None \
+                and len(kmers) >= self.DEVICE_ENCODE_MIN:
+            joined = "".join(kmers)
+            mat = np.frombuffer(joined.encode("ascii"),
+                                dtype=np.uint8).reshape(-1, K13)
+            return _encode_batch_dev(jnp.asarray(mat))
         codes, valid = codec.encode_kmers(kmers, K13)
         return codes.astype(np.uint32), valid
 

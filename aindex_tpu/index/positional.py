@@ -118,13 +118,14 @@ class PositionalIndex:
         the positions array is allocated once at its sum and every chunk
         scatters its occurrences directly into final cells (SURVEY.md §7.4
         "sort, not atomics")."""
+        from aindex_tpu.kernels.count import zeros_dev
         offsets = _csr_offsets(jnp.asarray(tf))
         total = int(offsets[-1])
         if total == 0:
             return cls(np.asarray(offsets, dtype=np.uint64),
                        np.zeros(0, np.uint64))
-        positions = jnp.zeros((total,), jnp.uint64)
-        cursor = jnp.zeros((n_slots,), jnp.int32)
+        positions = zeros_dev((total,), jnp.uint64)
+        cursor = zeros_dev((n_slots,), jnp.int32)
         off_dev = offsets[:-1]
         for slots, pos0, valid in chunk_iter:
             positions, cursor = _scatter_chunk_donated(
@@ -222,3 +223,34 @@ class PositionalIndex:
         s, e = int(self.offsets[slot]), int(self.offsets[slot + 1])
         chunk = self.positions[s:e]
         return chunk[chunk > 0] - np.uint64(1)
+
+    def positions_by_slots(self, slots: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch form: one vectorised gather for many slots.
+
+        Returns (positions, lengths): ``positions`` is the 0-based positions
+        of slot[0], then slot[1], ... concatenated; ``lengths[i]`` is the
+        count for slot[i] (split with ``np.split(positions,
+        np.cumsum(lengths)[:-1])``). Out-of-range slots contribute length 0.
+        The reference has no batch path — its per-call loop is the position
+        analysis bottleneck (/root/reference/src/python_wrapper.cpp:800-822).
+        """
+        slots = np.asarray(slots, dtype=np.int64)
+        ok = (slots >= 0) & (slots < self.n_slots)
+        safe = np.where(ok, slots, 0)
+        # index first, then cast: converting the full offsets array would
+        # copy gigabytes per call for the dense 4^13 CSR
+        starts = np.where(ok, self.offsets[safe].astype(np.int64), 0)
+        ends = np.where(ok, self.offsets[safe + 1].astype(np.int64), 0)
+        lens = ends - starts
+        out_off = np.zeros(len(slots) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        src = (np.arange(int(out_off[-1]), dtype=np.int64)
+               - np.repeat(out_off[:-1], lens)
+               + np.repeat(starts, lens))
+        pos = self.positions[src]
+        keep = pos > 0
+        csum = np.zeros(len(pos) + 1, dtype=np.int64)
+        np.cumsum(keep, out=csum[1:])
+        kept_lens = csum[out_off[1:]] - csum[out_off[:-1]]
+        return pos[keep] - np.uint64(1), kept_lens

@@ -86,19 +86,31 @@ def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
     if reduce not in ("device", "host"):
         raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
     parts: list[tuple[np.ndarray, np.ndarray]] = []
-    for piece, off in blob_chunks(blob, k, chunk):
+    pending = None  # (device_chunk, bytes_done): H2D overlaps device compute
+
+    def reduce_one(piece_dev):
         if reduce == "device":
-            keys, counts, n_unique = chunk_spectrum(jnp.asarray(piece), k)
+            keys, counts, n_unique = chunk_spectrum(piece_dev, k)
             n = int(n_unique)
             if n:
                 parts.append((np.asarray(keys[:n]), np.asarray(counts[:n])))
         else:
-            canon, valid = _extract_canonical(jnp.asarray(piece), k)
+            canon, valid = _extract_canonical(piece_dev, k)
             canon_np = np.asarray(canon)[np.asarray(valid)]
             if canon_np.size:
                 parts.append(np.unique(canon_np, return_counts=True))
+
+    for piece, off in blob_chunks(blob, k, chunk):
+        nxt = (jax.device_put(piece), min(off + chunk, blob.size))
+        if pending is not None:
+            reduce_one(pending[0])
+            if on_progress is not None:
+                on_progress(pending[1])
+        pending = nxt
+    if pending is not None:
+        reduce_one(pending[0])
         if on_progress is not None:
-            on_progress(min(off + chunk, blob.size))
+            on_progress(pending[1])
     return merge_spectra(parts)
 
 
@@ -290,11 +302,20 @@ class Sparse23Index:
 
     @classmethod
     def load(cls, prefix: str, k: int = K23) -> "Sparse23Index":
-        """Load an artifact triple; the .pf may be either our ATPF format or
-        the reference's emphf layout (auto-detected) — reference-built index
-        files load as-is, with the reference's own slot ids."""
+        """Load an artifact triple by prefix (see load_files)."""
+        return cls.load_files(prefix + SUFFIX_PF, prefix + SUFFIX_TF,
+                              prefix + SUFFIX_KMERS_BIN, k)
+
+    @classmethod
+    def load_files(cls, pf_path: str, tf_path: str, kmers_path: str,
+                   k: int = K23) -> "Sparse23Index":
+        """Load from explicit artifact paths (the reference wrapper's
+        ``load(hash, tf, kmers_bin, ...)`` form,
+        /root/reference/src/python_wrapper.cpp:228-245). The .pf may be
+        either our ATPF format or the reference's emphf layout
+        (auto-detected) — reference-built index files load as-is, with the
+        reference's own slot ids."""
         from aindex_tpu.index.emphf import EmphfMPHFAdapter, EmphfPF
-        pf_path = prefix + SUFFIX_PF
         with open(pf_path, "rb") as f:
             magic = f.read(8)
         if magic == MPHF.MAGIC:
@@ -303,17 +324,30 @@ class Sparse23Index:
             mphf = EmphfMPHFAdapter.load(pf_path, k)
         else:
             raise ValueError(f"{pf_path}: neither ATPF nor emphf .pf format")
-        tf = np.fromfile(prefix + SUFFIX_TF, dtype=np.uint32)
-        checker = np.fromfile(prefix + SUFFIX_KMERS_BIN, dtype=np.uint64)
+        tf = np.fromfile(tf_path, dtype=np.uint32)
+        checker = np.fromfile(kmers_path, dtype=np.uint64)
         if tf.size != mphf.n or checker.size != mphf.n:
             raise ValueError(
-                f"artifact size mismatch for {prefix}: n={mphf.n}, "
+                f"artifact size mismatch for {pf_path}: n={mphf.n}, "
                 f"tf={tf.size}, kmers={checker.size}")
         return cls(mphf, checker, tf, k)
 
     # -- encoding helpers --------------------------------------------------
 
-    def _encode(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    #: batch size from which string->code encoding moves to the device.
+    #: None = always host (see Dense13Index.DEVICE_ENCODE_MIN: raw-ASCII
+    #: H2D is 2.9x the bytes of uint64 codes and loses on the tunneled dev
+    #: chip; enable on real PCIe-attached hosts if profiling says so).
+    DEVICE_ENCODE_MIN: int | None = None
+
+    def _encode(self, kmers: list[str]):
+        if self.DEVICE_ENCODE_MIN is not None \
+                and len(kmers) >= self.DEVICE_ENCODE_MIN:
+            joined = "".join(kmers)
+            mat = np.frombuffer(joined.encode("ascii"),
+                                dtype=np.uint8).reshape(-1, self.k)
+            codes, valid = _extract_windows(jnp.asarray(mat), self.k)
+            return codes.reshape(-1), valid.reshape(-1)
         return codec.encode_kmers(kmers, self.k)
 
     # -- queries -----------------------------------------------------------
@@ -349,7 +383,7 @@ class Sparse23Index:
     def get_hash_values(self, kmers: list[str]) -> np.ndarray:
         """Raw (unverified) MPHF ids of the literal k-mer strings
         (/root/reference/src/python_wrapper.cpp:629-641)."""
-        codes, _ = self._encode(kmers)
+        codes, _ = codec.encode_kmers(kmers, self.k)  # host walk needs np
         return np.asarray(self.mphf.lookup(codes)).astype(np.int64)
 
     def get_strands(self, kmers: list[str]) -> np.ndarray:

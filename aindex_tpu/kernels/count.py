@@ -18,6 +18,14 @@ from aindex_tpu.constants import SPACE_13
 from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def zeros_dev(shape, dtype=jnp.uint32) -> jax.Array:
+    """Allocate zeros ON DEVICE. ``jnp.zeros`` outside jit materialises the
+    buffer on the host and transfers it — pathological for the 256 MB dense
+    table on a tunneled device; under jit it is a device-side fill."""
+    return jnp.zeros(shape, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("space",))
 def scatter_count(codes: jax.Array, valid: jax.Array, space: int = SPACE_13,
                   dtype=jnp.uint32) -> jax.Array:

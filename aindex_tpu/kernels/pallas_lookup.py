@@ -146,12 +146,20 @@ _impl_cache: dict[tuple, str] = {}
 
 
 def _time_call(fn, *args, reps: int = 3) -> float:
+    """Time fn(*args), forcing completion via an 8-byte scalar readback —
+    on some backends (the tunneled dev TPU) ``block_until_ready`` returns
+    before execution finishes, so a host readback is the only reliable
+    fence; reading back the full result would measure the tunnel instead."""
     import time
-    fn(*args).block_until_ready()  # compile + warm
+
+    def forced(*a):  # un-jitted wrapper: nesting jit around a pallas_call
+        return float(jnp.sum(fn(*a).astype(jnp.uint32)))  # blows the tracer
+
+    forced(*args)  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(*args).block_until_ready()
+        forced(*args)
         best = min(best, time.perf_counter() - t0)
     return best
 

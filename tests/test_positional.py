@@ -127,3 +127,26 @@ class TestDeviceStreamingBuild:
         for slot in np.flatnonzero(np.diff(off) > 1)[:50]:
             seg = dev.positions[off[slot]:off[slot + 1]]
             assert (np.diff(seg.astype(np.int64)) > 0).all()
+
+
+class TestBatchPositions:
+    def test_positions_by_slots_matches_scalar(self, store):
+        dev = PositionalIndex.build_dense13(store.blob)
+        rng = np.random.default_rng(5)
+        nz = np.flatnonzero(np.diff(dev.offsets.astype(np.int64)))
+        slots = np.concatenate([nz[:200], rng.integers(0, 4 ** 13, 50),
+                                [-1, 4 ** 13 + 5]]).astype(np.int64)
+        flat, lens = dev.positions_by_slots(slots)
+        assert lens.sum() == flat.size
+        parts = np.split(flat, np.cumsum(lens)[:-1])
+        for s, got in zip(slots, parts):
+            want = dev.positions_by_slot(int(s))
+            assert (got == want).all(), s
+
+    def test_api_get_positions_batch(self, reads):
+        from aindex_tpu.api import AIndex
+        idx = AIndex.build_from_sequences(reads, kmer_size=23)
+        kmers = [r[:23] for r in reads[:20]] + ["N" * 23]
+        batch = idx.get_positions_batch(kmers)
+        single = [idx.get_positions(km) for km in kmers]
+        assert batch == single
