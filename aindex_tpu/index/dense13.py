@@ -256,27 +256,22 @@ class Dense13Index:
 
     def get_tf_values(self, kmers: list[str]) -> np.ndarray:
         """Forward-strand tf per k-mer (get_tf_value_13mer semantics,
-        /root/reference/src/python_wrapper.cpp:482-503)."""
+        /root/reference/src/python_wrapper.cpp:482-503).
+
+        The gather is XLA's: a pallas shard-streaming alternative was built
+        and raced, but this toolchain's Mosaic only lowers per-lane
+        ``dynamic_gather`` (take_along_axis form) — a general random-element
+        gather cannot be expressed, and XLA's native gather already runs at
+        ~120M lookups/s/chip on the fused table (BENCH)."""
         codes, valid = self._encode(kmers)
-        if codes.size >= (1 << 20):
-            from aindex_tpu.kernels.pallas_lookup import gather_tf_auto
-            tf = gather_tf_auto(self.tf_query, jnp.asarray(codes))
-            return np.asarray(jnp.where(jnp.asarray(valid), tf,
-                                        jnp.zeros((), tf.dtype)))
         return np.asarray(gather_tf_valid(self.tf_query, jnp.asarray(codes),
                                           jnp.asarray(valid)))
 
     def get_total_tf_values(self, kmers: list[str]) -> np.ndarray:
         """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543).
 
-        One gather against the fused tf_total table (see ``tf_total``); large
-        batches route through the adaptive XLA/pallas gather."""
+        One XLA gather against the fused tf_total table (see ``tf_total``)."""
         codes, valid = self._encode(kmers)
-        if codes.size >= (1 << 20):
-            from aindex_tpu.kernels.pallas_lookup import gather_tf_auto
-            tf = gather_tf_auto(self.tf_total, jnp.asarray(codes))
-            return np.asarray(jnp.where(jnp.asarray(valid), tf,
-                                        jnp.zeros((), tf.dtype)))
         return np.asarray(_gather_total(self.tf_total, jnp.asarray(codes),
                                         jnp.asarray(valid)))
 

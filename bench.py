@@ -4,8 +4,7 @@ Covers every published reference throughput family (BASELINE.md,
 /root/reference/README.md:475-482): batch tf queries from ASCII strings
 (13-mer and 23-mer), directional queries, sequence coverage, k-mer position
 analysis — plus build (counting) throughput measured against the reference
-C++ counters compiled and timed on THIS machine (BASELINE_LOCAL.md), and
-the pallas-vs-XLA gather race at the headline batch size.
+C++ counters compiled and timed on THIS machine (BASELINE_LOCAL.md).
 
 Timing methodology (tunneled dev TPU): ``block_until_ready`` does not wait
 for device completion on this backend and device->host transfers ride a
@@ -207,23 +206,13 @@ def main():
     t = _median_time(lambda: pos23.positions_by_slots(probe23), reps=5)
     emit("positions_23mer", n23 / t, "positions/s", REF_POSITIONS_23)
 
-    # ---- pallas vs XLA gather race (headline-path large batch) -----------
-    from aindex_tpu.kernels.pallas_lookup import gather_tf_pallas, _time_call
-    tf_total = dense.tf_total
-    big = jnp.asarray(rng.integers(0, SPACE_13, size=1 << 22,
-                                   dtype=np.int64).astype(np.uint32))
-    if jax.default_backend() == "tpu":
-        try:
-            t_pal = _time_call(gather_tf_pallas, tf_total, big)
-            t_xla = _time_call(
-                jax.jit(lambda t, c: t[c.astype(jnp.int32)]), tf_total, big)
-            emit("pallas_gather_speedup_over_xla", t_xla / t_pal, "x", 1.0)
-        except Exception as e:  # lowering failure: report neutral
-            print(json.dumps({"metric": "pallas_gather_speedup_over_xla",
-                              "value": 0.0, "unit": "x", "vs_baseline": 0.0,
-                              "error": str(e)[:120]}), flush=True)
-
     # ---- HEADLINE: 13-mer batched total-tf (fused fwd+rc table) ----------
+    # A pallas shard-streaming gather was designed and raced here in an
+    # earlier round; after fixing its x64 lowering bugs it still cannot
+    # lower on this toolchain (Mosaic's gather is per-lane dynamic_gather
+    # only, jax/_src/pallas/mosaic/lowering.py:2464-2525) and was removed.
+    # XLA's native gather IS the fast path (~120M lookups/s/chip).
+    tf_total = dense.tf_total
     @jax.jit
     def total_tf_checksum(table, codes):
         return table[codes.astype(jnp.int32)].astype(jnp.uint32).sum()
