@@ -278,6 +278,26 @@ class AIndex:
         return idx
 
     # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save(self, prefix: str) -> None:
+        """Write every loaded component's artifacts under ``prefix`` in the
+        reference file formats (README.md:813-821): sparse -> .pf + .tf.bin
+        + .kmers.bin, dense -> .tf.bin, positional -> .index.bin +
+        .indices.bin, reads -> .reads + .ridx. The result round-trips
+        through ``load_from_prefix``."""
+        if self.sparse23 is not None:
+            self.sparse23.save(prefix)
+        elif self.dense13 is not None:
+            self.dense13.save(prefix + ".tf.bin")
+        pos = self.pos23 if self.pos23 is not None else self.pos13
+        if pos is not None:
+            pos.save(prefix)
+        if self.reads is not None:
+            self.reads.save(prefix)
+
+    # ------------------------------------------------------------------
     # dispatch helpers
     # ------------------------------------------------------------------
 
@@ -637,7 +657,21 @@ class AIndex:
                 continue
             yield kmer, self[kmer]
 
-    def get_sequence_coverage(self, seq: str, cutoff: int = 0, k: int = 23) -> List[int]:
+    def _coverage_k(self, k: Optional[int]) -> int:
+        """Resolve the coverage k-mer size: explicit k, else the loaded
+        mode (sparse when both are loaded, matching the reference's
+        default K=23, aindex/core/aindex.py:314-322)."""
+        if k is not None:
+            return k
+        if self.sparse23 is not None:
+            return self.sparse23.k
+        if self.dense13 is not None:
+            return K13
+        return K23
+
+    def get_sequence_coverage(self, seq: str, cutoff: int = 0,
+                              k: Optional[int] = None) -> List[int]:
+        k = self._coverage_k(k)
         if k == K13 and self.dense13 is not None:
             return [int(v) for v in self.dense13.sequence_coverage(seq, cutoff)]
         if self.sparse23 is not None and k == self.sparse23.k:
@@ -645,9 +679,10 @@ class AIndex:
         return [0] * max(0, len(seq) - k + 1)
 
     def get_sequence_coverage_batch(self, seqs: List[str], cutoff: int = 0,
-                                    k: int = 23) -> List[List[int]]:
+                                    k: Optional[int] = None) -> List[List[int]]:
         """Coverage profiles for many sequences — the high-throughput path
         (length-bucketed device batches)."""
+        k = self._coverage_k(k)
         if k == K13 and self.dense13 is not None:
             covs = self.dense13.sequence_coverage_batch(seqs, cutoff)
         elif self.sparse23 is not None and k == self.sparse23.k:
@@ -657,9 +692,10 @@ class AIndex:
         return [[int(v) for v in c] for c in covs]
 
     def print_sequence_coverage(self, seq: str, cutoff: int = 0) -> List[int]:
+        k = self._coverage_k(None)
         coverage = self.get_sequence_coverage(seq, cutoff)
         for i, tf in enumerate(coverage):
-            print(f"{i}\t{seq[i:i + 23]}\t{tf}")
+            print(f"{i}\t{seq[i:i + k]}\t{tf}")
         return coverage
 
     # ------------------------------------------------------------------

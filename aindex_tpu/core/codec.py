@@ -34,7 +34,8 @@ for _b in ALPHABET:
 #: /root/reference/src/kmers.cpp:302-303 and aindex/core/aindex.py:34-42).
 _REVCOMP_TRANS = str.maketrans("ATCGNatcgn~[]", "TAGCNtagcn~][")
 
-_POWERS64 = (4 ** np.arange(32, dtype=np.uint64))[::-1].copy()
+_PACK4 = np.array([64, 16, 4, 1], dtype=np.uint8)  # 4 bases -> 1 byte
+_LUT_BYTES = BASE_LUT.tobytes()  # bytes.translate table (C-speed decode)
 
 
 def revcomp(sequence: str) -> str:
@@ -77,21 +78,29 @@ def encode_kmers(kmers: list[str] | np.ndarray, k: int) -> tuple[np.ndarray, np.
     Vectorised version of get_dna23_bitset / get_dna13_bitset
     (/root/reference/src/kmers.cpp:12-55).
     """
+    if k > 32:
+        raise ValueError(f"k={k} exceeds the 32-base uint64 code capacity")
     if isinstance(kmers, np.ndarray) and kmers.dtype == np.uint8:
-        mat = kmers.reshape(-1, k)
+        raw = kmers.tobytes()
     else:
-        joined = "".join(kmers)
-        mat = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(-1, k)
-    base = BASE_LUT[mat]
-    # max-reduce beats any(== INVALID): INVALID_CODE is the uint8 maximum
-    valid = base.max(axis=1) != INVALID_CODE
-    if k <= 26:
-        # BLAS float64 matmul, exact while max code 4^k < 2^53 — ~2.5x the
-        # integer matmul (numpy has no BLAS path for uint64)
-        codes = ((base & 3).astype(np.float64)
-                 @ _POWERS64[32 - k:].astype(np.float64)).astype(np.uint64)
-    else:
-        codes = (base.astype(np.uint64) & np.uint64(3)) @ _POWERS64[32 - k:]
+        raw = "".join(kmers).encode("ascii")
+    # bytes.translate is the fastest decode on the host (single C pass,
+    # ~1.5x a numpy LUT fancy-index); INVALID_CODE marks non-ACGT bases.
+    mat = np.frombuffer(raw.translate(_LUT_BYTES), dtype=np.uint8).reshape(-1, k)
+    # max-reduce: INVALID_CODE is the uint8 maximum
+    valid = mat.max(axis=1) != INVALID_CODE
+    # Pack 4 bases/byte with a uint8 matmul (max 255, exact), then view the
+    # big-endian byte strips as one uint64 per k-mer — ~2x the float64
+    # BLAS matmul this replaces (no 8-byte-per-base temporary). Invalid
+    # bases contribute in-range junk (& 3) under a cleared ``valid``.
+    n_bytes = (k + 3) // 4
+    padded = np.zeros((mat.shape[0], n_bytes * 4), np.uint8)
+    padded[:, :k] = mat & 3
+    b4 = padded.reshape(-1, n_bytes, 4) @ _PACK4
+    by = np.zeros((mat.shape[0], 8), np.uint8)
+    by[:, :n_bytes] = b4[:, ::-1]  # little-endian view => byte 0 is LSB
+    codes = by.view("<u8").astype(np.uint64).reshape(-1) \
+        >> np.uint64(2 * (4 * n_bytes - k))
     return codes, valid
 
 

@@ -1,0 +1,74 @@
+"""Host/device routing policy for ASCII-origin query batches.
+
+A query batch that arrives as Python strings starts in host memory, so a
+device lookup must pay host->device transfer of the encoded codes (>= 4
+bytes per query) before the first gather can run. Whether that beats a
+vectorised host-side lookup of the same table depends on one number: the
+measured H2D bandwidth of this host/device link.
+
+* PCIe-attached production TPU hosts move ~10 GB/s: the transfer is
+  microseconds and the device gather (~120 M lookups/s/chip, BENCH) wins
+  for any non-trivial batch.
+* The tunneled dev chip this repo is benched on moves ~40 MB/s fenced
+  (BASELINE_LOCAL.md): a 1M-query uint32 code batch costs ~0.1 s in
+  transfer alone, while the host gathers the reference-scale tables
+  (<= 256 MB, already resident for file-loaded and host-built indexes)
+  at ~10-15 M lookups/s.
+
+The policy below measures the link once per process and routes ASCII-batch
+queries accordingly; device-resident inputs (coverage kernels, mesh-sharded
+queries, build pipelines) always stay on device. Override with
+``AINDEX_TPU_ASCII_QUERY=host|device`` (anything else = auto).
+
+This replaces the reference's only strategy — per-kmer C++ loops on the
+host (/root/reference/src/python_wrapper.cpp:594-608) — with the faster of
+two batched engines, chosen by hardware measurement.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+ASCII_QUERY_ENV = "AINDEX_TPU_ASCII_QUERY"
+
+#: Below this measured H2D rate the host engine wins for ASCII batches
+#: (host lookup ~0.07 s/M queries vs transfer 4 MB/M + ~30 ms dispatch).
+H2D_THRESHOLD_MBPS = 256.0
+
+_h2d_mbps: float | None = None
+
+
+def h2d_bandwidth_mbps(probe_mb: int = 4) -> float:
+    """Measured host->device bandwidth (MB/s); one probe per process.
+
+    The probe is fenced by forcing a tiny on-device reduction of the
+    transferred buffer (``block_until_ready`` returns before completion on
+    some transports, BASELINE_LOCAL.md), so the figure slightly
+    *under*-estimates raw bandwidth by one dispatch round-trip — which only
+    ever biases the policy toward the host path on slow links.
+    """
+    global _h2d_mbps
+    if _h2d_mbps is None:
+        import jax
+        import jax.numpy as jnp
+        buf = np.zeros(probe_mb << 20, np.uint8)
+        fence = jax.jit(lambda x: x[:8].astype(jnp.uint32).sum())
+        float(fence(jax.device_put(buf[: 1 << 12])))  # warm compile+dispatch
+        t0 = time.perf_counter()
+        float(fence(jax.device_put(buf)))
+        dt = time.perf_counter() - t0
+        _h2d_mbps = probe_mb / max(dt, 1e-9)
+    return _h2d_mbps
+
+
+def prefer_host_ascii_queries() -> bool:
+    """True when ASCII-batch lookups should run on the host engine."""
+    mode = os.environ.get(ASCII_QUERY_ENV, "auto")
+    if mode == "host":
+        return True
+    if mode == "device":
+        return False
+    return h2d_bandwidth_mbps() < H2D_THRESHOLD_MBPS

@@ -108,22 +108,30 @@ class CuckooTable:
         return table
 
     def lookup_host(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(found, tf, slot) host-side — mirror of the device kernel."""
+        """(found, tf, slot) host-side — mirror of the device kernel.
+
+        Two-stage probe: the second candidate row is gathered only for
+        first-row misses (~half the keys for a resident set), cutting the
+        dominant cost — random 16-byte row gathers — by ~25% end to end.
+        """
         keys = np.asarray(keys, dtype=np.uint64)
         lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi = (keys >> np.uint64(32)).astype(np.uint32)
-        found = np.zeros(keys.shape, bool)
-        tf = np.zeros(keys.shape, np.uint32)
-        slot = np.zeros(keys.shape, np.int32)
         mask = np.uint64(self.m - 1)
-        for half, seed in ((0, self.seed1), (1, self.seed2)):
-            row = (_mix64_np(keys ^ np.uint64(seed)) & mask).astype(np.int64) \
-                + (self.m if half else 0)
-            cells = self.table_host[row]
-            hit = (cells[:, 0] == lo) & (cells[:, 1] == hi)
-            found |= hit
-            tf = np.where(hit, cells[:, 2], tf)
-            slot = np.where(hit, cells[:, 3].astype(np.int32), slot)
+        row1 = (_mix64_np(keys ^ self.seed1) & mask).astype(np.int64)
+        cells = self.table_host[row1]
+        found = (cells[:, 0] == lo) & (cells[:, 1] == hi)
+        tf = np.where(found, cells[:, 2], np.uint32(0))
+        slot = np.where(found, cells[:, 3], np.uint32(0)).astype(np.int32)
+        idx = np.nonzero(~found)[0]
+        if idx.size:
+            sub = keys[idx]
+            row2 = (_mix64_np(sub ^ self.seed2) & mask).astype(np.int64) + self.m
+            c2 = self.table_host[row2]
+            hit2 = (c2[:, 0] == lo[idx]) & (c2[:, 1] == hi[idx])
+            found[idx] = hit2
+            tf[idx] = np.where(hit2, c2[:, 2], np.uint32(0))
+            slot[idx] = np.where(hit2, c2[:, 3], np.uint32(0)).astype(np.int32)
         return found, tf, slot
 
 

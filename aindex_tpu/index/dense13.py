@@ -113,13 +113,14 @@ class Dense13Index:
     k = K13
     space = SPACE_13
 
-    def __init__(self, tf: jax.Array):
+    def __init__(self, tf: jax.Array, tf_host: np.ndarray | None = None):
         if tf.shape != (SPACE_13,):
             raise ValueError(f"expected shape ({SPACE_13},), got {tf.shape}")
         self.tf = tf
-        self._tf_host: np.ndarray | None = None
+        self._tf_host: np.ndarray | None = tf_host
         self._tf_total: jax.Array | None = None
         self._tf_query: jax.Array | None = None
+        self._tf_total_host: np.ndarray | None = None
 
     @property
     def tf_total(self) -> jax.Array:
@@ -203,7 +204,8 @@ class Dense13Index:
     #    reference format is MPHF-slot order — parity is at kmer->tf level) --
 
     def save(self, tf_path: str) -> None:
-        np.asarray(self.tf, dtype=np.uint64).tofile(tf_path)
+        src = self._tf_host if self._tf_host is not None else np.asarray(self.tf)
+        np.asarray(src, dtype=np.uint64).tofile(tf_path)
 
     @classmethod
     def load(cls, tf_path: str, pf_path: str | None = None) -> "Dense13Index":
@@ -221,7 +223,9 @@ class Dense13Index:
             from aindex_tpu.index.emphf import EmphfPF, unpermute_dense_tf
             raw = unpermute_dense_tf(raw, EmphfPF.load(pf_path), K13)
         clipped = np.minimum(raw, np.iinfo(np.uint32).max).astype(np.uint32)
-        return cls(jnp.asarray(clipped))
+        # keep the host copy: it enables the zero-transfer host query engine
+        # on slow H2D links (core.hostdev) at no extra cost
+        return cls(jnp.asarray(clipped), tf_host=clipped)
 
     # -- host-side helpers ----------------------------------------------
 
@@ -251,6 +255,41 @@ class Dense13Index:
 
     def invalidate_host_cache(self) -> None:
         self._tf_host = None
+        self._tf_total_host = None
+
+    def _host_tables(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """(tf, tf_total) host tables for the zero-transfer query engine.
+
+        Only available when the host copy already exists (file-loaded or
+        previously materialised): we never trigger an implicit 256 MB D2H
+        pull — on the slow links where the host engine matters, that
+        transfer is exactly what must not happen.
+        """
+        if self._tf_host is None:
+            return None
+        if self._tf_total_host is None:
+            codes = np.arange(SPACE_13, dtype=np.uint32)
+            rc = codec.revcomp_code(codes.astype(np.uint64), K13).astype(np.int64)
+            self._tf_total_host = self._tf_host + self._tf_host[rc]
+        return self._tf_host, self._tf_total_host
+
+    def _host_query(self, kind: str, codes: np.ndarray, valid: np.ndarray):
+        """Host gather mirror of the device query kernels; None if the host
+        tables are absent or the policy prefers the device."""
+        from aindex_tpu.core.hostdev import prefer_host_ascii_queries
+        tables = self._host_tables()
+        if tables is None or not prefer_host_ascii_queries():
+            return None
+        tf, tf_total = tables
+        idx = codes.astype(np.int64)
+        zero = np.uint32(0)
+        if kind == "total":
+            return np.where(valid, tf_total[idx], zero)
+        if kind == "fwd":
+            return np.where(valid, tf[idx], zero)
+        rc = codec.revcomp_code(codes.astype(np.uint64), K13).astype(np.int64)
+        return (np.where(valid, tf[idx], zero),
+                np.where(valid, tf[rc], zero))
 
     # -- queries (batch-first; scalar wrappers in the API facade) --------
 
@@ -264,6 +303,10 @@ class Dense13Index:
         gather cannot be expressed, and XLA's native gather already runs at
         ~120M lookups/s/chip on the fused table (BENCH)."""
         codes, valid = self._encode(kmers)
+        if isinstance(codes, np.ndarray):
+            host = self._host_query("fwd", codes, valid)
+            if host is not None:
+                return host
         return np.asarray(gather_tf_valid(self.tf_query, jnp.asarray(codes),
                                           jnp.asarray(valid)))
 
@@ -272,11 +315,19 @@ class Dense13Index:
 
         One XLA gather against the fused tf_total table (see ``tf_total``)."""
         codes, valid = self._encode(kmers)
+        if isinstance(codes, np.ndarray):
+            host = self._host_query("total", codes, valid)
+            if host is not None:
+                return host
         return np.asarray(_gather_total(self.tf_total, jnp.asarray(codes),
                                         jnp.asarray(valid)))
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
         codes, valid = self._encode(kmers)
+        if isinstance(codes, np.ndarray):
+            host = self._host_query("both", codes, valid)
+            if host is not None:
+                return host
         fwd, rc = gather_tf_both_13(self.tf_query, jnp.asarray(codes),
                                     jnp.asarray(valid))
         return np.asarray(fwd), np.asarray(rc)

