@@ -104,6 +104,37 @@ def encode_kmers(kmers: list[str] | np.ndarray, k: int) -> tuple[np.ndarray, np.
     return codes, valid
 
 
+_PACK4_LE = np.array([1, 4, 16, 64], dtype=np.uint8)
+
+
+def pack_ascii_chunk(chunk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII uint8[..., L] (L % 16 == 0) -> (uint32[..., L/16] packed base
+    codes, uint8[..., L/8] validity bitmap).
+
+    The device-ingest wire format: 2 bits/base + 1 validity bit/base =
+    0.375 bytes/base instead of 1 for raw ASCII — a 2.67x cut of the
+    host->device transfer that bounds build throughput (the reference
+    streams raw bytes to its workers, /root/reference/src/
+    count_kmers13.cpp:166-183; a TPU build is ingest-bound instead).
+    Layout (little-endian both levels): base i sits at bits 2*(i%16) of
+    word i//16; its validity at bit i%8 of byte i//8 — so the device
+    unpack (kernels.encode.unpack_base_codes) is pure broadcast shifts.
+    """
+    if chunk.shape[-1] % 16:
+        # pad to a word boundary with newline (= invalid) bytes; the extra
+        # windows are invalid and masked by every consumer
+        pad = 16 - chunk.shape[-1] % 16
+        chunk = np.concatenate(
+            [chunk, np.full((*chunk.shape[:-1], pad), ord("\n"), np.uint8)],
+            axis=-1)
+    base = np.frombuffer(chunk.tobytes().translate(_LUT_BYTES),
+                         np.uint8).reshape(chunk.shape)
+    validbits = np.packbits(base != INVALID_CODE, axis=-1, bitorder="little")
+    by = (base & 3).reshape(*chunk.shape[:-1], -1, 4) @ _PACK4_LE
+    packed = np.ascontiguousarray(by).view("<u4")
+    return packed.reshape(*chunk.shape[:-1], -1), validbits
+
+
 def encode_kmer(kmer: str) -> int:
     """Single k-mer string -> integer code. Raises on invalid bases."""
     codes, valid = encode_kmers([kmer], len(kmer))

@@ -135,8 +135,9 @@ def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
     if blob.size < chunk:
         # tighten the (single) chunk to the blob: padding a 3 MB blob out
         # to a 16 MB default chunk would spend 5x the kernel time on
-        # newline filler (shape stays 128-aligned for TPU tiling)
-        chunk = max(-(-blob.size // 128) * 128, k + 127)
+        # newline filler (shape stays 128-aligned for TPU tiling and for
+        # the 16-base words of the packed ingest format)
+        chunk = max(-(-blob.size // 128) * 128, -(-(k + 127) // 128) * 128)
     step = chunk - (k - 1)
     pad_byte = ord("\n")
     for off in range(0, max(blob.size - (k - 1), 1), step):
@@ -178,7 +179,8 @@ def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
         if tail.size > k - 1 or off == 0:
             if off == 0:
                 # single-chunk stream: tighten like blob_chunks does
-                chunk = max(-(-tail.size // 128) * 128, k + 127)
+                chunk = max(-(-tail.size // 128) * 128,
+                            -(-(k + 127) // 128) * 128)
             padded = np.concatenate(
                 [tail, np.full(chunk - tail.size, pad_byte, dtype=np.uint8)])
             yield padded, off

@@ -23,11 +23,15 @@ from aindex_tpu.constants import K13, SPACE_13
 from aindex_tpu.core import codec
 from aindex_tpu.core.reads import blob_chunks
 from aindex_tpu.kernels import coverage as cov_kernels
-from aindex_tpu.kernels.count import count_batch_13
+from aindex_tpu.kernels.count import count_batch_13, count_batch_13_packed
 from aindex_tpu.kernels.lookup import gather_tf_both_13, gather_tf_valid
 
 _count_step = jax.jit(
     functools.partial(count_batch_13, k=K13, space=SPACE_13),
+    donate_argnums=(0,),
+)
+_count_step_packed = jax.jit(
+    functools.partial(count_batch_13_packed, k=K13, space=SPACE_13),
     donate_argnums=(0,),
 )
 
@@ -36,10 +40,11 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
                         on_progress=None) -> jax.Array:
     """Mesh-streamed dense count: [n_data, chunk] batches, psum-merged.
 
-    The double-buffered device_put overlaps the host blob slicing + H2D copy
-    of batch i+1 with the device compute of batch i — the TPU analogue of the
+    The double-buffered device_put overlaps the host pack + H2D copy of
+    batch i+1 with the device compute of batch i — the TPU analogue of the
     reference's producer-thread input queue
-    (/root/reference/src/count_kmers13.cpp:166-183)."""
+    (/root/reference/src/count_kmers13.cpp:166-183). Batches cross the
+    link in the packed ingest format (codec.pack_ascii_chunk)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from aindex_tpu.core.reads import blob_chunk_batches
     from aindex_tpu.parallel.count13 import count13_sharded_accumulate
@@ -53,15 +58,17 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
     done = 0
     step = (chunk - 12) * n_data                 # bytes advanced per batch
     for batch in blob_chunk_batches(blob, K13, chunk, n_data):
-        nxt = jax.device_put(batch, data_spec)   # async H2D of batch i+1
+        packed, vbits = codec.pack_ascii_chunk(batch)
+        nxt = (jax.device_put(packed, data_spec),   # async H2D of batch i+1
+               jax.device_put(vbits, data_spec))
         if pending is not None:
-            counts = count13_sharded_accumulate(counts, pending, mesh=mesh)
+            counts = count13_sharded_accumulate(counts, *pending, mesh=mesh)
         pending = nxt
         done = min(done + step, blob.size)
         if on_progress is not None:
             on_progress(done)
     if pending is not None:
-        counts = count13_sharded_accumulate(counts, pending, mesh=mesh)
+        counts = count13_sharded_accumulate(counts, *pending, mesh=mesh)
     counts.block_until_ready()
     return counts
 
@@ -167,20 +174,23 @@ class Dense13Index:
 
     @classmethod
     def _count_chunk_iter(cls, chunk_iter, on_progress=None) -> "Dense13Index":
-        """Double-buffered count over (chunk, bytes_done) pairs: the H2D
-        copy of chunk i+1 overlaps the device compute of chunk i."""
+        """Double-buffered count over (chunk, bytes_done) pairs: the host
+        pack + H2D copy of chunk i+1 overlaps the device compute of chunk
+        i. Chunks cross the link packed (codec.pack_ascii_chunk, 0.375
+        bytes/base) — builds are ingest-bound, not compute-bound."""
         from aindex_tpu.kernels.count import zeros_dev
         counts = zeros_dev((SPACE_13,), jnp.uint32)
         pending = None
         for piece, done in chunk_iter:
-            nxt = jax.device_put(piece)          # async H2D
+            packed, vbits = codec.pack_ascii_chunk(piece)
+            nxt = (jax.device_put(packed), jax.device_put(vbits))  # async H2D
             if pending is not None:
-                counts = _count_step(counts, pending)
+                counts = _count_step_packed(counts, *pending)
             pending = nxt
             if on_progress is not None:
                 on_progress(done)
         if pending is not None:
-            counts = _count_step(counts, pending)
+            counts = _count_step_packed(counts, *pending)
         counts.block_until_ready()
         return cls(counts)
 

@@ -31,8 +31,8 @@ import numpy as np
 
 from aindex_tpu.constants import SPACE_13, SUFFIX_INDEX, SUFFIX_INDICES
 from aindex_tpu.core.reads import blob_chunks
-from aindex_tpu.index.sparse23 import Sparse23Index, _extract_windows
-from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+from aindex_tpu.index.sparse23 import Sparse23Index
+from aindex_tpu.kernels.encode import packed_window_codes
 
 
 @jax.jit
@@ -151,9 +151,11 @@ class PositionalIndex:
             tf = Dense13Index.build_from_blob(blob, chunk=chunk).tf
 
         def chunks():
+            from aindex_tpu.core.codec import pack_ascii_chunk
             for piece, off in blob_chunks(blob, k, chunk):
-                base = ascii_to_base_codes(jnp.asarray(piece))
-                codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
+                codes, valid = packed_window_codes(
+                    *map(jnp.asarray, pack_ascii_chunk(piece)), k,
+                    out_dtype=jnp.uint32)
                 pos0 = jnp.arange(codes.shape[0], dtype=jnp.int64) + off
                 if on_progress is not None:
                     on_progress(min(off + chunk, blob.size))
@@ -172,8 +174,11 @@ class PositionalIndex:
         k = index.k
 
         def chunks():
+            from aindex_tpu.core.codec import pack_ascii_chunk
             for piece, off in blob_chunks(blob, k, chunk):
-                codes, valid = _extract_windows(jnp.asarray(piece), k)
+                codes, valid = packed_window_codes(
+                    *map(jnp.asarray, pack_ascii_chunk(piece)), k,
+                    out_dtype=jnp.uint64)
                 _, slot, _ = index._resolve(codes, valid)
                 slot = slot.astype(jnp.int64)
                 pos0 = jnp.arange(slot.shape[0], dtype=jnp.int64) + off

@@ -42,6 +42,23 @@ def ascii_to_base_codes(ascii_u8: jax.Array) -> jax.Array:
     return jnp.where(valid, code, jnp.uint8(INVALID_CODE))
 
 
+@jax.jit
+def unpack_base_codes(packed: jax.Array, validbits: jax.Array) -> jax.Array:
+    """Packed ingest (codec.pack_ascii_chunk) -> uint8 base codes with
+    INVALID_CODE at invalid positions.
+
+    ``packed`` uint32[..., W] carries 16 bases/word, ``validbits``
+    uint8[..., 2W] one bit/base (both little-endian). Pure broadcast
+    shift/mask work on the VPU — no gathers.
+    """
+    shifts = 2 * jnp.arange(16, dtype=jnp.uint32)
+    b = ((packed[..., :, None] >> shifts) & 3).astype(jnp.uint8)
+    b = b.reshape(*packed.shape[:-1], -1)
+    v = (validbits[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    v = v.reshape(*validbits.shape[:-1], -1).astype(jnp.bool_)
+    return jnp.where(v, b, jnp.uint8(INVALID_CODE))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "out_dtype"))
 def window_codes(base_codes: jax.Array, k: int, out_dtype=jnp.uint32):
     """Packed k-mer codes for every window of a base-code array.
@@ -75,6 +92,14 @@ def window_codes(base_codes: jax.Array, k: int, out_dtype=jnp.uint32):
     for j in range(1, k):
         acc = (acc << 2) | jax.lax.slice_in_dim(b, j, j + n_win, axis=-1)
     return acc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "out_dtype"))
+def packed_window_codes(packed: jax.Array, validbits: jax.Array, k: int,
+                        out_dtype=jnp.uint32):
+    """``window_codes`` over the packed ingest format (unpack fused in)."""
+    return window_codes(unpack_base_codes(packed, validbits), k,
+                        out_dtype=out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -42,6 +42,19 @@ def chunk_spectrum(ascii_chunk: jax.Array, k: int):
     return sorted_spectrum(keyed)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def chunk_spectrum_packed(packed: jax.Array, validbits: jax.Array, k: int):
+    """``chunk_spectrum`` over the packed ingest format
+    (codec.pack_ascii_chunk) — 2.67x less H2D per chunk."""
+    from aindex_tpu.kernels.encode import (canonical_code64,
+                                           unpack_base_codes, window_codes)
+    base = unpack_base_codes(packed, validbits)
+    codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
+    canon = canonical_code64(codes, k)
+    keyed = jnp.where(valid, canon, SENTINEL).reshape(-1)
+    return sorted_spectrum(keyed)
+
+
 @jax.jit
 def sorted_spectrum(keyed: jax.Array):
     """Segment-reduce a flat uint64 key array (SENTINEL = ignore).

@@ -18,12 +18,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aindex_tpu.constants import K13, SPACE_13
-from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+from aindex_tpu.kernels.encode import unpack_base_codes, window_codes
 from aindex_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_count(ascii_shard: jax.Array, k: int, space: int) -> jax.Array:
-    base = ascii_to_base_codes(ascii_shard)
+def _local_count(packed: jax.Array, validbits: jax.Array, k: int,
+                 space: int) -> jax.Array:
+    base = unpack_base_codes(packed, validbits)
     codes, valid = window_codes(base, k, out_dtype=jnp.uint32)
     flat = codes.reshape(-1).astype(jnp.int32)
     w = valid.reshape(-1).astype(jnp.uint32)
@@ -31,28 +32,31 @@ def _local_count(ascii_shard: jax.Array, k: int, space: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "space"))
-def count13_sharded(ascii_batch: jax.Array, *, mesh: Mesh, k: int = K13,
-                    space: int = SPACE_13) -> jax.Array:
-    """Count forward k<=16-mers of a [B, L] ASCII batch sharded over ``data``.
+def count13_sharded(packed: jax.Array, validbits: jax.Array, *, mesh: Mesh,
+                    k: int = K13, space: int = SPACE_13) -> jax.Array:
+    """Count forward k<=16-mers of a packed [B, W]+[B, 2W] ingest batch
+    (codec.pack_ascii_chunk) row-sharded over ``data``.
 
     Returns the fully-merged table, replicated on every device.
     """
     fn = shard_map(
-        lambda x: jax.lax.psum(_local_count(x, k, space), DATA_AXIS),
+        lambda p, v: jax.lax.psum(_local_count(p, v, k, space), DATA_AXIS),
         mesh=mesh,
-        in_specs=P(DATA_AXIS),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(),
     )
-    return fn(ascii_batch)
+    return fn(packed, validbits)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "space"),
                    donate_argnums=(0,))
-def count13_sharded_accumulate(counts: jax.Array, ascii_batch: jax.Array, *,
-                               mesh: Mesh, k: int = K13,
+def count13_sharded_accumulate(counts: jax.Array, packed: jax.Array,
+                               validbits: jax.Array, *, mesh: Mesh,
+                               k: int = K13,
                                space: int = SPACE_13) -> jax.Array:
     """Streaming variant: add this batch's merged counts into ``counts``."""
-    return counts + count13_sharded(ascii_batch, mesh=mesh, k=k, space=space)
+    return counts + count13_sharded(packed, validbits, mesh=mesh, k=k,
+                                    space=space)
 
 
 def pack_reads_batch(reads: list[str], n_shards: int, length: int | None = None

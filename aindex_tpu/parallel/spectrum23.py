@@ -36,20 +36,25 @@ from aindex_tpu.parallel.mesh import DATA_AXIS
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k"))
-def spectrum23_sharded(ascii_batch: jax.Array, *, mesh: Mesh, k: int):
-    """Global canonical spectrum of a [rows, L] ASCII batch, key-sharded.
+def spectrum23_sharded(packed: jax.Array, validbits: jax.Array, *, mesh: Mesh,
+                       k: int):
+    """Global canonical spectrum of a packed [rows, W]+[rows, 2W] ingest
+    batch (codec.pack_ascii_chunk), key-sharded.
 
     Returns (keys[n_data, cap], counts[n_data, cap], n_unique[n_data]):
     shard d holds the global spectrum of key range
     [d * range, (d+1) * range) in its first n_unique[d] entries.
     """
-    from aindex_tpu.index.sparse23 import _extract_canonical
+    from aindex_tpu.kernels.encode import (canonical_code64,
+                                           unpack_base_codes, window_codes)
 
     n_data = mesh.shape[DATA_AXIS]
     range_size = -(-(4 ** k) // n_data)
 
-    def local(shard):
-        canon, valid = _extract_canonical(shard, k)
+    def local(shard_p, shard_v):
+        base = unpack_base_codes(shard_p, shard_v)
+        codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
+        canon = canonical_code64(codes, k)
         keyed = jnp.where(valid, canon, SENTINEL).reshape(-1)
         keys_l, counts_l, _ = sorted_spectrum(keyed)
         all_k = jax.lax.all_gather(keys_l, DATA_AXIS)    # [n_data, W]
@@ -64,9 +69,9 @@ def spectrum23_sharded(ascii_batch: jax.Array, *, mesh: Mesh, k: int):
                       jnp.uint64(0)).reshape(-1))
         return keys_o[None], counts_o[None], n_u[None]
 
-    fn = shard_map(local, mesh=mesh, in_specs=P(DATA_AXIS),
+    fn = shard_map(local, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
                    out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
-    return fn(ascii_batch)
+    return fn(packed, validbits)
 
 
 def count_canonical_kmers_sharded(blob: np.ndarray, mesh: Mesh, k: int,
@@ -78,6 +83,7 @@ def count_canonical_kmers_sharded(blob: np.ndarray, mesh: Mesh, k: int,
     on device (one all_gather), so the host only merges the per-range
     partial spectra across batches — each a fraction of the key space.
     """
+    from aindex_tpu.core.codec import pack_ascii_chunk
     from aindex_tpu.core.reads import blob_chunk_batches
     from aindex_tpu.kernels.spectrum import merge_spectra
 
@@ -87,8 +93,10 @@ def count_canonical_kmers_sharded(blob: np.ndarray, mesh: Mesh, k: int,
         [[] for _ in range(n_data)]
     done, step = 0, (chunk - (k - 1)) * n_data
     for batch in blob_chunk_batches(blob, k, chunk, n_data):
+        packed, vbits = pack_ascii_chunk(batch)
         keys, counts, n_u = spectrum23_sharded(
-            jax.device_put(batch, data_spec), mesh=mesh, k=k)
+            jax.device_put(packed, data_spec),
+            jax.device_put(vbits, data_spec), mesh=mesh, k=k)
         keys, counts, n_u = (np.asarray(keys), np.asarray(counts),
                              np.asarray(n_u))
         for d in range(n_data):

@@ -43,13 +43,16 @@ FAST = bool(os.environ.get("BENCH_FAST"))
 
 
 def _median_time(fn, reps=7):
+    """Best-of-N wall time (as ``timeit`` does): the minimum is the least
+    interference-polluted sample on a small shared host — the 2-vCPU bench
+    box shows 2-3x swings in host-path medians from unrelated load."""
     fn()  # warm / compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+    return min(ts)
 
 
 def main():
@@ -63,7 +66,7 @@ def main():
     from aindex_tpu.index.positional import PositionalIndex
     from aindex_tpu.index.sparse23 import Sparse23Index
     from aindex_tpu.kernels import coverage as cov_kernels
-    from aindex_tpu.kernels.spectrum import chunk_spectrum
+    from aindex_tpu.kernels.spectrum import chunk_spectrum_packed
 
     rng = np.random.default_rng(42)
     results = []
@@ -117,12 +120,15 @@ def main():
     dense._tf_host = tf13_host
 
     # sparse spectrum: whole blob as one device chunk -> sorted unique
-    # spectrum resident on device; n_unique scalar is the fence
+    # spectrum resident on device; n_unique scalar is the fence. The chunk
+    # crosses the link in the packed ingest format (host pack timed in).
     pad = np.concatenate([store.blob, np.full(
         (-store.blob.size) % 128, ord("\n"), np.uint8)])
 
     def spectrum_build():
-        keys, counts, n_u = chunk_spectrum(jax.device_put(pad), 23)
+        packed, vbits = codec.pack_ascii_chunk(pad)
+        keys, counts, n_u = chunk_spectrum_packed(
+            jax.device_put(packed), jax.device_put(vbits), 23)
         return int(n_u)
 
     t = _median_time(spectrum_build, reps=3)

@@ -108,3 +108,76 @@ class TestDeviceCodec:
         dev = np.asarray(fn(jnp.asarray(codes.astype(np.uint64)).astype(dtype), k))
         host = codec.revcomp_code(codes, k)
         assert (dev.astype(np.uint64) == host).all()
+
+
+class TestPackedIngest:
+    """The packed device-ingest wire format (pack_ascii_chunk <->
+    kernels.encode.unpack_base_codes)."""
+
+    def _random_ascii(self, rng, n):
+        pool = np.frombuffer(b"ACGTacgtN\n~X", dtype=np.uint8)
+        return pool[rng.integers(0, len(pool), size=n)]
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from aindex_tpu.core.codec import pack_ascii_chunk
+        from aindex_tpu.kernels import encode as kenc
+        import jax.numpy as jnp
+        chunk = self._random_ascii(rng, 2048)
+        packed, vbits = pack_ascii_chunk(chunk)
+        assert packed.dtype == np.uint32 and packed.size == 128
+        assert vbits.dtype == np.uint8 and vbits.size == 256
+        base = np.asarray(kenc.unpack_base_codes(
+            jnp.asarray(packed), jnp.asarray(vbits)))
+        expect = np.asarray(kenc.ascii_to_base_codes(jnp.asarray(chunk)))
+        np.testing.assert_array_equal(base, expect)
+
+    def test_pack_pads_unaligned(self, rng):
+        from aindex_tpu.core.codec import pack_ascii_chunk
+        chunk = self._random_ascii(rng, 150)  # not a multiple of 16
+        packed, vbits = pack_ascii_chunk(chunk)
+        assert packed.size == 10 and vbits.size == 20
+        # the 10 pad positions must be invalid
+        bits = np.unpackbits(vbits, bitorder="little")
+        assert not bits[150:].any()
+
+    def test_pack_batched_rows(self, rng):
+        from aindex_tpu.core.codec import pack_ascii_chunk
+        from aindex_tpu.kernels import encode as kenc
+        import jax.numpy as jnp
+        mat = self._random_ascii(rng, 4 * 256).reshape(4, 256)
+        packed, vbits = pack_ascii_chunk(mat)
+        assert packed.shape == (4, 16) and vbits.shape == (4, 32)
+        base = np.asarray(kenc.unpack_base_codes(
+            jnp.asarray(packed), jnp.asarray(vbits)))
+        expect = np.asarray(kenc.ascii_to_base_codes(jnp.asarray(mat)))
+        np.testing.assert_array_equal(base, expect)
+
+    def test_packed_count_matches_ascii(self, rng):
+        import jax.numpy as jnp
+        from aindex_tpu.core.codec import pack_ascii_chunk
+        from aindex_tpu.kernels.count import (count_batch_13,
+                                              count_batch_13_packed)
+        from aindex_tpu.kernels.count import zeros_dev
+        from aindex_tpu.constants import SPACE_13
+        chunk = self._random_ascii(rng, 4096)
+        a = count_batch_13(zeros_dev((SPACE_13,), jnp.uint32),
+                           jnp.asarray(chunk))
+        packed, vbits = pack_ascii_chunk(chunk)
+        b = count_batch_13_packed(zeros_dev((SPACE_13,), jnp.uint32),
+                                  jnp.asarray(packed), jnp.asarray(vbits))
+        assert int(jnp.sum(a != b)) == 0
+
+    def test_packed_spectrum_matches_ascii(self, rng):
+        import jax.numpy as jnp
+        from aindex_tpu.core.codec import pack_ascii_chunk
+        from aindex_tpu.kernels.spectrum import (chunk_spectrum,
+                                                 chunk_spectrum_packed)
+        chunk = self._random_ascii(rng, 4096)
+        k1, c1, n1 = chunk_spectrum(jnp.asarray(chunk), 23)
+        packed, vbits = pack_ascii_chunk(chunk)
+        k2, c2, n2 = chunk_spectrum_packed(jnp.asarray(packed),
+                                           jnp.asarray(vbits), 23)
+        n1, n2 = int(n1), int(n2)
+        assert n1 == n2
+        np.testing.assert_array_equal(np.asarray(k1)[:n1], np.asarray(k2)[:n2])
+        np.testing.assert_array_equal(np.asarray(c1)[:n1], np.asarray(c2)[:n2])

@@ -9,7 +9,13 @@ import pytest
 from aindex_tpu.core.reads import ReadsStore
 from aindex_tpu.index.dense13 import Dense13Index
 from aindex_tpu.index.sparse23 import Sparse23Index
+from aindex_tpu.core.codec import pack_ascii_chunk
 from aindex_tpu.parallel.count13 import count13_sharded, pack_reads_batch
+
+
+def _packed(batch):
+    packed, vbits = pack_ascii_chunk(batch)
+    return jnp.asarray(packed), jnp.asarray(vbits)
 from aindex_tpu.parallel.mesh import make_mesh
 from aindex_tpu.parallel.query23 import ShardedSparse23
 
@@ -30,7 +36,7 @@ def reads():
 def test_sharded_count_matches_oracle_and_single_device(reads, eight_devices):
     mesh = make_mesh(n_data=8, devices=eight_devices)
     batch = pack_reads_batch(reads, n_shards=8)
-    table = np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh))
+    table = np.asarray(count13_sharded(*_packed(batch), mesh=mesh))
 
     golden = oracle.count_forward(reads, 13)
     store = ReadsStore.from_sequences(reads)
@@ -46,7 +52,7 @@ def test_sharded_count_data_axis_sizes(reads, eight_devices):
     for n in (1, 2, 4, 8):
         mesh = make_mesh(n_data=n, devices=eight_devices[:n])
         batch = pack_reads_batch(reads, n_shards=n)
-        tables.append(np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh)))
+        tables.append(np.asarray(count13_sharded(*_packed(batch), mesh=mesh)))
     for t in tables[1:]:
         assert (t == tables[0]).all()
 
@@ -71,7 +77,7 @@ def test_2d_mesh_count_and_query(reads, eight_devices):
     lives sharded on the index axis."""
     mesh = make_mesh(n_data=2, n_index=4, devices=eight_devices)
     batch = pack_reads_batch(reads, n_shards=2)
-    table = np.asarray(count13_sharded(jnp.asarray(batch), mesh=mesh))
+    table = np.asarray(count13_sharded(*_packed(batch), mesh=mesh))
     store = ReadsStore.from_sequences(reads)
     single = Dense13Index.build_from_blob(store.blob)
     assert (table == single.tf_host).all()
