@@ -84,8 +84,15 @@ def encode_kmers(kmers: list[str] | np.ndarray, k: int) -> tuple[np.ndarray, np.
         raw = kmers.tobytes()
     else:
         raw = "".join(kmers).encode("ascii")
+    if len(raw) % k:
+        raise ValueError(
+            f"batch byte length {len(raw)} is not a multiple of k={k} "
+            "(mixed-length or ragged k-mer batch)")
     # bytes.translate is the fastest decode on the host (single C pass,
     # ~1.5x a numpy LUT fancy-index); INVALID_CODE marks non-ACGT bases.
+    # (A scalar-C native encoder was benchmarked and loses to this
+    # vectorised pipeline at batch sizes >= ~100K; native pays off only
+    # fused with the cuckoo probes — native.sparse_query_ascii.)
     mat = np.frombuffer(raw.translate(_LUT_BYTES), dtype=np.uint8).reshape(-1, k)
     # max-reduce: INVALID_CODE is the uint8 maximum
     valid = mat.max(axis=1) != INVALID_CODE

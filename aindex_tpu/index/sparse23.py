@@ -232,6 +232,19 @@ class Sparse23Index:
                 return self._resolve_host(codes, np.asarray(valid))
         return self._resolve_device(codes, valid)
 
+    def _query_host_ascii(self, raw: bytes, n: int):
+        """Fused native host engine: raw ASCII k-mer run -> (tf, slot,
+        strand) in one C pass (native.sparse_query_ascii); None when the
+        native library is unavailable (caller falls back to encode +
+        _resolve)."""
+        from aindex_tpu import native
+        ck = self.cuckoo
+        if ck is None or not native.available():
+            return None
+        return native.sparse_query_ascii(raw, n, self.k, self.canonical_keys,
+                                         ck.table_host, ck.m, ck.seed1,
+                                         ck.seed2)
+
     def _resolve_host(self, codes: np.ndarray, valid: np.ndarray):
         """Host mirror of _resolve over the cuckoo table (no H2D): same
         (tf, slot, strand) contract, vectorised numpy throughout."""
@@ -398,13 +411,28 @@ class Sparse23Index:
 
     # -- queries -----------------------------------------------------------
 
+    def _resolve_ascii(self, kmers: list[str]):
+        """(tf, slot, strand) for a host string batch via the best engine:
+        the fused native C pass (encode + canonical + cuckoo probes, no
+        intermediate arrays) when the link policy prefers the host, else
+        encode + _resolve (which itself routes host/device)."""
+        if self.k <= 30:
+            from aindex_tpu.core.hostdev import prefer_host_ascii_queries
+            if prefer_host_ascii_queries():
+                raw = "".join(kmers).encode("ascii")
+                if len(raw) == len(kmers) * self.k:  # guard ragged input
+                    out = self._query_host_ascii(raw, len(kmers))
+                    if out is not None:
+                        return out
+        codes, valid = self._encode(kmers)
+        return self._resolve(codes, valid)
+
     def get_tf_values(self, kmers: list[str]) -> np.ndarray:
         """tf per k-mer (get_freq semantics,
         /root/reference/src/hash.hpp:123-140): verified probe of the
         canonical form (our indexes) or forward-then-revcomp (reference
         indexes — see _resolve)."""
-        codes, valid = self._encode(kmers)
-        tf, _, _ = self._resolve(codes, valid)
+        tf, _, _ = self._resolve_ascii(kmers)
         return np.asarray(tf)
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -412,8 +440,7 @@ class Sparse23Index:
 
         (get_tf_both_directions_23mer, /root/reference/src/python_wrapper.cpp:1219-1260
         reports (tf, 0) when found forward, (0, tf) when found as revcomp)."""
-        codes, valid = self._encode(kmers)
-        tf, _, strand = self._resolve(codes, valid)
+        tf, _, strand = self._resolve_ascii(kmers)
         tf, strand = np.asarray(tf), np.asarray(strand)
         return (np.where(strand == 1, tf, 0).astype(tf.dtype),
                 np.where(strand == 2, tf, 0).astype(tf.dtype))
@@ -421,8 +448,7 @@ class Sparse23Index:
     def get_pfids(self, kmers: list[str]) -> np.ndarray:
         """Slot id per k-mer; n (invalid marker) when absent
         (get_pfid, /root/reference/src/hash.hpp:150-170)."""
-        codes, valid = self._encode(kmers)
-        _, slot, _ = self._resolve(codes, valid)
+        _, slot, _ = self._resolve_ascii(kmers)
         slot = np.asarray(slot).astype(np.int64)
         return np.where(slot < 0, self.n, slot)
 
@@ -435,8 +461,7 @@ class Sparse23Index:
     def get_strands(self, kmers: list[str]) -> np.ndarray:
         """0 = not found, 1 = stored forward, 2 = stored as revcomp
         (/root/reference/src/python_wrapper.cpp:726-742)."""
-        codes, valid = self._encode(kmers)
-        _, _, strand = self._resolve(codes, valid)
+        _, _, strand = self._resolve_ascii(kmers)
         return np.asarray(strand)
 
     def get_kmer_by_kid(self, kid: int) -> str:

@@ -49,14 +49,31 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32)]
+    lib.encode_kmers_2bit.restype = ctypes.c_int64
+    lib.encode_kmers_2bit.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8)]
+    lib.sparse_query_ascii.restype = ctypes.c_int64
+    lib.sparse_query_ascii.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
 
 
 def ensure_built(force: bool = False) -> bool:
-    """Compile the native library if missing. Returns True when usable."""
+    """Compile the native library if missing or stale. Returns True when
+    usable. Staleness is decided by mtime (source newer than .so) — it must
+    be rebuilt BEFORE the first dlopen, since dlopen caches by path and a
+    rebuild after loading would not be picked up in this process."""
     global _load_failed
-    if os.path.exists(_SO_PATH) and not force:
-        return True
     src = os.path.join(_NATIVE_DIR, "aindex_host.cpp")
+    if os.path.exists(_SO_PATH) and not force:
+        try:
+            if os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
+                return True
+        except OSError:
+            return True
     if not os.path.exists(src):
         return False
     try:
@@ -78,15 +95,22 @@ def get_lib() -> ctypes.CDLL | None:
         return _lib
     if _load_failed:
         return None
-    if not os.path.exists(_SO_PATH) and not ensure_built():
+    if not ensure_built():
         _load_failed = True
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
-        _configure(lib)
+        try:
+            _configure(lib)
+        except AttributeError:
+            # stale .so from an older source revision: rebuild and reload
+            if not ensure_built(force=True):
+                raise
+            lib = ctypes.CDLL(_SO_PATH)
+            _configure(lib)
         _lib = lib
         return lib
-    except OSError as e:
+    except (OSError, AttributeError) as e:
         logger.warning("native load failed: %s", e)
         _load_failed = True
         return None
@@ -178,3 +202,52 @@ def scan_newlines_native(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray] | No
     if n < 0:
         return None
     return starts[:n], ends[:n]
+
+
+def encode_kmers_2bit(raw: np.ndarray | bytes, n: int, k: int
+                      ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Flat ASCII run of n k-mers -> (codes uint64[n], valid bool[n]);
+    None when the library is unavailable. Single C pass — the fast host
+    path behind codec.encode_kmers."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, bytes) \
+        else np.ascontiguousarray(raw, dtype=np.uint8)
+    codes = np.empty(n, dtype=np.uint64)
+    valid = np.empty(n, dtype=np.uint8)
+    lib.encode_kmers_2bit(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(k),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return codes, valid.astype(bool)
+
+
+def sparse_query_ascii(raw: np.ndarray | bytes, n: int, k: int,
+                       canonical_keys: bool, table: np.ndarray, m: int,
+                       seed1, seed2
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused host engine for the sparse index: ASCII k-mer batch ->
+    (tf uint32[n], slot int32[n], strand int32[n]) in one C pass (encode +
+    canonical + verified cuckoo probes). None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, bytes) \
+        else np.ascontiguousarray(raw, dtype=np.uint8)
+    table = np.ascontiguousarray(table, dtype=np.uint32)
+    tf = np.empty(n, dtype=np.uint32)
+    slot = np.empty(n, dtype=np.int32)
+    strand = np.empty(n, dtype=np.int32)
+    lib.sparse_query_ascii(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(k),
+        ctypes.c_int32(1 if canonical_keys else 0),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_uint64(m), ctypes.c_uint64(int(seed1)),
+        ctypes.c_uint64(int(seed2)),
+        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return tf, slot, strand

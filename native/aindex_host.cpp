@@ -362,4 +362,199 @@ int64_t scan_newlines(const uint8_t* blob, int64_t size, int64_t* starts,
   return n;
 }
 
+}  // extern "C" (reopened below — the templated helpers need C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Host query fast paths (the ASCII-batch engine, core/hostdev.py)
+// ---------------------------------------------------------------------------
+
+// One k-mer: ASCII -> packed big-endian 2-bit code + validity. The 2<->3
+// swap trick: x = (c >> 1) & 3 gives A=0 C=1 G=3 T=2; x ^ (x >> 1) fixes
+// G/T. Templated on K so the compiler fully unrolls the dependency chain.
+template <int K>
+static inline uint64_t encode_one(const uint8_t* s, uint8_t* ok_out) {
+  uint64_t code = 0;
+  uint8_t ok = 1;
+  for (int32_t j = 0; j < K; ++j) {
+    uint8_t c = s[j];
+    uint8_t up = c & 0xDF;
+    ok &= (uint8_t)(up == 'A' || up == 'C' || up == 'G' || up == 'T');
+    uint8_t x = (c >> 1) & 3;
+    code = (code << 2) | (uint8_t)(x ^ (x >> 1));
+  }
+  *ok_out = ok;
+  return code;
+}
+
+static inline uint64_t encode_one_rt(const uint8_t* s, int32_t k,
+                                     uint8_t* ok_out) {
+  switch (k) {  // common k's get unrolled bodies
+    case 13: return encode_one<13>(s, ok_out);
+    case 23: return encode_one<23>(s, ok_out);
+    default: {
+      uint64_t code = 0;
+      uint8_t ok = 1;
+      for (int32_t j = 0; j < k; ++j) {
+        uint8_t c = s[j];
+        uint8_t up = c & 0xDF;
+        ok &= (uint8_t)(up == 'A' || up == 'C' || up == 'G' || up == 'T');
+        uint8_t x = (c >> 1) & 3;
+        code = (code << 2) | (uint8_t)(x ^ (x >> 1));
+      }
+      *ok_out = ok;
+      return code;
+    }
+  }
+}
+
+extern "C" {
+
+// ASCII -> 2-bit codes for a flat run of n equal-length k-mers.
+// codes[i] gets the packed big-endian 2-bit code (junk but in-range when the
+// k-mer has a non-ACGT base); valid[i] = 1 iff all k bases are ACGT/acgt.
+int64_t encode_kmers_2bit(const uint8_t* raw, int64_t n, int32_t k,
+                          uint64_t* codes, uint8_t* valid) {
+  for (int64_t i = 0; i < n; ++i)
+    codes[i] = encode_one_rt(raw + (size_t)i * k, k, &valid[i]);
+  return n;
+}
+
+static inline uint64_t revcomp_code(uint64_t x, int32_t k) {
+  x = ~x;
+  x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+  x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+  x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+  x = (x >> 32) | (x << 32);
+  return x >> (64 - 2 * k);
+}
+
+// One verified two-probe cuckoo lookup (table layout: see cuckoo_build).
+static inline void probe(const uint32_t* table, uint64_t m, uint64_t s1,
+                         uint64_t s2, uint64_t key, uint32_t* tf,
+                         int32_t* slot) {
+  const uint64_t mask = m - 1;
+  uint32_t lo = (uint32_t)(key & 0xFFFFFFFFULL);
+  uint32_t hi = (uint32_t)(key >> 32);
+  const uint32_t* c = table + (mix64(key ^ s1) & mask) * 4;
+  if (c[0] == lo && c[1] == hi) { *tf = c[2]; *slot = (int32_t)c[3]; return; }
+  c = table + ((mix64(key ^ s2) & mask) + m) * 4;
+  if (c[0] == lo && c[1] == hi) { *tf = c[2]; *slot = (int32_t)c[3]; return; }
+  *tf = 0; *slot = -1;
+}
+
+// Fused sparse-index ASCII batch query: encode + canonicalise + verified
+// cuckoo probes + strand (the whole get_tf_values host hot path; mirrors
+// Sparse23Index._resolve_host exactly).
+//
+// The probes are the cost: two dependent random reads of a table far
+// bigger than cache. Processing in blocks with software prefetch keeps
+// many misses in flight instead of serialising them — measured ~3x the
+// naive per-key loop on 1M-key batches.
+//
+// canonical_keys != 0: probe min(code, rc), strand = 1 if code <= rc else 2.
+// canonical_keys == 0: probe forward then revcomp (reference get_freq rule,
+// /root/reference/src/hash.hpp:123-140).
+int64_t sparse_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
+                           int32_t canonical_keys, const uint32_t* table,
+                           uint64_t m, uint64_t seed1, uint64_t seed2,
+                           uint32_t* tf_out, int32_t* slot_out,
+                           int32_t* strand_out) {
+  const uint64_t mask = m - 1;
+  enum { BLOCK = 1024 };
+  uint64_t key1[BLOCK], key2[BLOCK];   // probe keys (fwd or canonical; rc)
+  uint64_t row[BLOCK];
+  int64_t pend[BLOCK];                 // indices needing the second probe
+
+  for (int64_t b0 = 0; b0 < n; b0 += BLOCK) {
+    int64_t bn = n - b0 < BLOCK ? n - b0 : BLOCK;
+    // stage 1: encode + canonicalise; issue first-row prefetches
+    for (int64_t t = 0; t < bn; ++t) {
+      int64_t i = b0 + t;
+      uint8_t ok;
+      uint64_t code = encode_one_rt(raw + (size_t)i * k, k, &ok);
+      uint64_t rc = revcomp_code(code, k);
+      if (!ok) {
+        tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+        key1[t] = ~0ULL;  // never matches (cells store keys < 2^62)
+        key2[t] = ~0ULL;
+        row[t] = 0;
+        continue;
+      }
+      if (canonical_keys) {
+        uint64_t canon = code < rc ? code : rc;
+        key1[t] = canon; key2[t] = canon;
+        strand_out[i] = code <= rc ? 1 : 2;  // provisional; 0 on miss below
+      } else {
+        key1[t] = code; key2[t] = rc;
+        strand_out[i] = 1;                   // provisional
+      }
+      row[t] = mix64(key1[t] ^ seed1) & mask;
+      __builtin_prefetch(table + row[t] * 4, 0, 1);
+    }
+    // stage 2: first probe; collect misses, prefetch their second row.
+    // For canonical tables the second probe reuses the same key with the
+    // other hash; for reference tables it probes the revcomp key's FIRST
+    // hash (then its second) — handled by a two-round pend loop below.
+    int64_t np_ = 0;
+    for (int64_t t = 0; t < bn; ++t) {
+      int64_t i = b0 + t;
+      if (key1[t] == ~0ULL) continue;
+      const uint32_t* c = table + row[t] * 4;
+      uint32_t lo = (uint32_t)(key1[t] & 0xFFFFFFFFULL);
+      uint32_t hi = (uint32_t)(key1[t] >> 32);
+      if (c[0] == lo && c[1] == hi) {
+        tf_out[i] = c[2]; slot_out[i] = (int32_t)c[3];
+      } else {
+        pend[np_] = t;
+        row[t] = (mix64(key1[t] ^ seed2) & mask) + m;
+        __builtin_prefetch(table + row[t] * 4, 0, 1);
+        ++np_;
+      }
+    }
+    // stage 3: second probe of key1 (other half)
+    int64_t nmiss = 0;
+    for (int64_t p = 0; p < np_; ++p) {
+      int64_t t = pend[p];
+      int64_t i = b0 + t;
+      const uint32_t* c = table + row[t] * 4;
+      uint32_t lo = (uint32_t)(key1[t] & 0xFFFFFFFFULL);
+      uint32_t hi = (uint32_t)(key1[t] >> 32);
+      if (c[0] == lo && c[1] == hi) {
+        tf_out[i] = c[2]; slot_out[i] = (int32_t)c[3];
+      } else if (!canonical_keys && key2[t] != key1[t]) {
+        pend[nmiss] = t;                 // fall through to revcomp probes
+        row[t] = mix64(key2[t] ^ seed1) & mask;
+        __builtin_prefetch(table + row[t] * 4, 0, 1);
+        ++nmiss;
+      } else {
+        tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+      }
+    }
+    // stages 4+5 (reference-keyed only): revcomp key, both halves
+    for (int round = 0; round < 2 && nmiss; ++round) {
+      int64_t nm2 = 0;
+      for (int64_t p = 0; p < nmiss; ++p) {
+        int64_t t = pend[p];
+        int64_t i = b0 + t;
+        const uint32_t* c = table + row[t] * 4;
+        uint32_t lo = (uint32_t)(key2[t] & 0xFFFFFFFFULL);
+        uint32_t hi = (uint32_t)(key2[t] >> 32);
+        if (c[0] == lo && c[1] == hi) {
+          tf_out[i] = c[2]; slot_out[i] = (int32_t)c[3]; strand_out[i] = 2;
+        } else if (round == 0) {
+          pend[nm2] = t;
+          row[t] = (mix64(key2[t] ^ seed2) & mask) + m;
+          __builtin_prefetch(table + row[t] * 4, 0, 1);
+          ++nm2;
+        } else {
+          tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+        }
+      }
+      nmiss = nm2;
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

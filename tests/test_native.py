@@ -74,3 +74,76 @@ class TestScanNewlines:
         starts, ends = out
         assert list(starts) == [0, 5, 8, 9]
         assert list(ends) == [4, 7, 8, 12]
+
+
+class TestNativeQueryEngine:
+    """The fused host query path (encode_kmers_2bit / sparse_query_ascii)
+    must mirror the staged numpy engine bit for bit."""
+
+    def _kmers(self, rng, n, k, with_edge=True):
+        bases = "ACGT"
+        out = ["".join(rng.choice(list(bases)) for _ in range(k))
+               for _ in range(n)]
+        if with_edge:
+            out += ["T" * k, "ACGN" + "A" * (k - 4), "acgt" + "A" * (k - 4)]
+        return out
+
+    def test_encode_matches_codec(self):
+        import random
+        from aindex_tpu.core import codec
+        rng = random.Random(3)
+        for k in (13, 23, 17):
+            kmers = self._kmers(rng, 200, k)
+            raw = "".join(kmers).encode("ascii")
+            out = native.encode_kmers_2bit(raw, len(kmers), k)
+            assert out is not None
+            codes_n, valid_n = out
+            codes_p, valid_p = codec.encode_kmers(kmers, k)
+            np.testing.assert_array_equal(valid_n, valid_p)
+            # codes for invalid k-mers are unspecified junk in both engines
+            np.testing.assert_array_equal(codes_n[valid_n], codes_p[valid_p])
+
+    def test_sparse_query_matches_numpy_engine(self):
+        import random
+        from aindex_tpu.core import codec
+        from aindex_tpu.core.reads import ReadsStore
+        from aindex_tpu.index.sparse23 import Sparse23Index
+        rng = random.Random(11)
+        reads = ["".join(rng.choice("ACGT") for _ in range(70))
+                 for _ in range(25)]
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        q = [r[s:s + 23] for r in reads for s in (0, 17, 40)]
+        q += [codec.revcomp(q[0]), "G" * 23, "ACGTN" + "A" * 18]
+        raw = "".join(q).encode("ascii")
+        out = index._query_host_ascii(raw, len(q))
+        assert out is not None
+        tf_n, slot_n, strand_n = out
+        codes, valid = codec.encode_kmers(q, 23)
+        tf_p, slot_p, strand_p = index._resolve_host(codes, valid)
+        np.testing.assert_array_equal(tf_n, tf_p)
+        np.testing.assert_array_equal(slot_n, slot_p)
+        np.testing.assert_array_equal(strand_n, strand_p)
+
+    def test_sparse_query_reference_keyed_rule(self):
+        """fwd-then-revcomp probe rule (canonical_keys=False): native vs
+        numpy engines must agree on every (tf, slot, strand)."""
+        import random
+        from aindex_tpu.core import codec
+        from aindex_tpu.core.reads import ReadsStore
+        from aindex_tpu.index.sparse23 import Sparse23Index
+        rng = random.Random(12)
+        reads = ["".join(rng.choice("ACGT") for _ in range(70))
+                 for _ in range(25)]
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        index.canonical_keys = False  # exercise the two-key probe path
+        q = [r[s:s + 23] for r in reads for s in (0, 17, 40)]
+        q += [codec.revcomp(q[1]), "G" * 23, "ACGTN" + "A" * 18]
+        raw = "".join(q).encode("ascii")
+        tf_n, slot_n, strand_n = index._query_host_ascii(raw, len(q))
+        codes, valid = codec.encode_kmers(q, 23)
+        tf_p, slot_p, strand_p = index._resolve_host(codes, valid)
+        np.testing.assert_array_equal(tf_n, tf_p)
+        np.testing.assert_array_equal(slot_n, slot_p)
+        np.testing.assert_array_equal(strand_n, strand_p)
