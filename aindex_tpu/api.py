@@ -59,8 +59,18 @@ class AIndex:
         collective-free). Returns self; subsequent sparse tf queries are
         served by the sharded engine."""
         if self.sparse23 is not None:
-            from aindex_tpu.parallel.query23 import ShardedSparse23
-            self._sharded23 = ShardedSparse23(self.sparse23, mesh)
+            if getattr(self.sparse23, "g_packed", None) is None \
+                    or not self.sparse23.canonical_keys:
+                # reference-format (emphf) indexes have no device MPHF walk
+                # and need the fwd-else-revcomp probe rule — the slot-sharded
+                # engine supports neither; keep the single-device engine
+                logger.warning(
+                    "shard_to: sparse index is reference-keyed (emphf) — "
+                    "slot-sharded queries unavailable, keeping the "
+                    "single-device query engine")
+            else:
+                from aindex_tpu.parallel.query23 import ShardedSparse23
+                self._sharded23 = ShardedSparse23(self.sparse23, mesh)
         if self.dense13 is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
@@ -183,6 +193,22 @@ class AIndex:
         self._loaded = True
 
     load_hash_file = load
+    load_hash = load  # aindex/core/aindex.py:63
+
+    @staticmethod
+    def load_13mer_index_static(hash_file: str, tf_file: str) -> "AIndex":
+        """Static 13-mer constructor (aindex/core/aindex.py:382): the hash
+        file is accepted for signature parity; the dense mode is
+        code-indexed, so it is only used when it is a reference emphf .pf
+        (slot-order table re-keyed on load)."""
+        idx = AIndex()
+        pf = None
+        if hash_file and os.path.exists(hash_file):
+            from aindex_tpu.index.emphf import EmphfPF
+            if EmphfPF.is_emphf_file(hash_file):
+                pf = hash_file
+        idx.load_13mer_index(tf_file, pf)
+        return idx
 
     def load_aindex_from_prefix_13mer(self, prefix: str) -> None:
         """/root/reference/src/python_wrapper.cpp:1156-1216."""
@@ -286,7 +312,16 @@ class AIndex:
         reference file formats (README.md:813-821): sparse -> .pf + .tf.bin
         + .kmers.bin, dense -> .tf.bin, positional -> .index.bin +
         .indices.bin, reads -> .reads + .ridx. The result round-trips
-        through ``load_from_prefix``."""
+        through ``load_from_prefix``.
+
+        A dual-mode index cannot share one prefix (both modes own .tf.bin /
+        .index.bin — the reference uses distinct prefixes like p.13/p.23
+        too): save each mode under its own prefix."""
+        if self.sparse23 is not None and self.dense13 is not None:
+            raise ValueError(
+                "both index modes are loaded and their artifacts collide "
+                "under one prefix; save each mode to its own prefix "
+                "(e.g. p.13 / p.23)")
         if self.sparse23 is not None:
             self.sparse23.save(prefix)
         elif self.dense13 is not None:
@@ -554,6 +589,10 @@ class AIndex:
         here it actually bounds the work of hub k-mers)."""
         poses = self.pos(kmer)
         if self.max_tf and len(poses) > self.max_tf:
+            logger.warning(
+                "get_rid2poses: hub k-mer with %d positions truncated to "
+                "max_tf=%d (raise max_tf at load time for the full set)",
+                len(poses), self.max_tf)
             poses = poses[:self.max_tf]
         hits: Dict[int, List[int]] = defaultdict(list)
         for p in poses:

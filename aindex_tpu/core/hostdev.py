@@ -56,9 +56,12 @@ def h2d_bandwidth_mbps(probe_mb: int = 4) -> float:
         import jax.numpy as jnp
         buf = np.zeros(probe_mb << 20, np.uint8)
         fence = jax.jit(lambda x: x[:8].astype(jnp.uint32).sum())
-        float(fence(jax.device_put(buf[: 1 << 12])))  # warm compile+dispatch
-        t0 = time.perf_counter()
+        # warm with the SAME shape so the timed call measures transfer +
+        # dispatch only, never XLA compilation (a different warm-up shape
+        # was measured to under-report a 40 MB/s link as 5 MB/s)
         float(fence(jax.device_put(buf)))
+        t0 = time.perf_counter()
+        float(fence(jax.device_put(buf.copy())))
         dt = time.perf_counter() - t0
         _h2d_mbps = probe_mb / max(dt, 1e-9)
     return _h2d_mbps

@@ -135,9 +135,11 @@ def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
     if blob.size < chunk:
         # tighten the (single) chunk to the blob: padding a 3 MB blob out
         # to a 16 MB default chunk would spend 5x the kernel time on
-        # newline filler (shape stays 128-aligned for TPU tiling and for
-        # the 16-base words of the packed ingest format)
-        chunk = max(-(-blob.size // 128) * 128, -(-(k + 127) // 128) * 128)
+        # newline filler. Quantised to the next power of two (>= 256) so
+        # kernel shapes take at most log2 distinct values — every distinct
+        # chunk size costs an XLA compile — and stay 128-aligned for TPU
+        # tiling and the 16-base words of the packed ingest format.
+        chunk = 1 << max(max(blob.size, k + 127) - 1, 255).bit_length()
     step = chunk - (k - 1)
     pad_byte = ord("\n")
     for off in range(0, max(blob.size - (k - 1), 1), step):
@@ -162,6 +164,9 @@ def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
     """
     step = chunk - (k - 1)
     pad_byte = ord("\n")
+    # (buf, cursor): pending pieces + a read cursor into buf[0], so a huge
+    # single piece (whole-chromosome FASTA) is never re-concatenated per
+    # chunk — consuming it is O(N), not O(N^2 / chunk)
     buf: list[np.ndarray] = []
     buffered = 0
     off = 0
@@ -169,18 +174,22 @@ def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
         buf.append(piece)
         buffered += piece.size
         while buffered >= chunk:
-            whole = np.concatenate(buf)
-            yield whole[:chunk], off
-            whole = whole[step:]
+            if buf[0].size >= chunk:
+                head = buf[0]
+            else:
+                head = np.concatenate(buf)  # only the small-piece prefix
+                buf = [head]
+            yield head[:chunk], off
             off += step
-            buf, buffered = [whole], whole.size
+            buf[0] = head[step:]
+            buffered -= step
     if buffered:
-        tail = np.concatenate(buf)
+        tail = buf[0] if len(buf) == 1 else np.concatenate(buf)
         if tail.size > k - 1 or off == 0:
             if off == 0:
                 # single-chunk stream: tighten like blob_chunks does
-                chunk = max(-(-tail.size // 128) * 128,
-                            -(-(k + 127) // 128) * 128)
+                chunk = 1 << max(max(tail.size, k + 127) - 1,
+                                 255).bit_length()
             padded = np.concatenate(
                 [tail, np.full(chunk - tail.size, pad_byte, dtype=np.uint8)])
             yield padded, off

@@ -52,8 +52,10 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
 
     n_data = mesh.shape[DATA_AXIS]
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
-    counts = jax.device_put(np.zeros((SPACE_13,), np.uint32),
-                            NamedSharding(mesh, P()))
+    # device-side fill, replicated: materialising 268 MB of host zeros and
+    # pushing them over the link would cost seconds on slow transports
+    counts = jax.jit(lambda: jnp.zeros((SPACE_13,), jnp.uint32),
+                     out_shardings=NamedSharding(mesh, P()))()
     pending = None
     done = 0
     step = (chunk - 12) * n_data                 # bytes advanced per batch

@@ -100,14 +100,9 @@ def get_lib() -> ctypes.CDLL | None:
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
-        try:
-            _configure(lib)
-        except AttributeError:
-            # stale .so from an older source revision: rebuild and reload
-            if not ensure_built(force=True):
-                raise
-            lib = ctypes.CDLL(_SO_PATH)
-            _configure(lib)
+        _configure(lib)  # AttributeError = stale .so that mtime missed;
+        # no in-process retry is possible (dlopen caches by path), so fail
+        # to the pure-Python fallbacks and let the next process rebuild
         _lib = lib
         return lib
     except (OSError, AttributeError) as e:
@@ -207,8 +202,11 @@ def scan_newlines_native(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray] | No
 def encode_kmers_2bit(raw: np.ndarray | bytes, n: int, k: int
                       ) -> tuple[np.ndarray, np.ndarray] | None:
     """Flat ASCII run of n k-mers -> (codes uint64[n], valid bool[n]);
-    None when the library is unavailable. Single C pass — the fast host
-    path behind codec.encode_kmers."""
+    None when the library is unavailable. Same encode that
+    sparse_query_ascii fuses with its probes, exported standalone so the
+    parity tests can pin it against codec.encode_kmers. (codec itself keeps
+    its vectorised numpy pipeline, which beats this scalar loop at large
+    batches.)"""
     lib = get_lib()
     if lib is None:
         return None

@@ -429,20 +429,6 @@ static inline uint64_t revcomp_code(uint64_t x, int32_t k) {
   return x >> (64 - 2 * k);
 }
 
-// One verified two-probe cuckoo lookup (table layout: see cuckoo_build).
-static inline void probe(const uint32_t* table, uint64_t m, uint64_t s1,
-                         uint64_t s2, uint64_t key, uint32_t* tf,
-                         int32_t* slot) {
-  const uint64_t mask = m - 1;
-  uint32_t lo = (uint32_t)(key & 0xFFFFFFFFULL);
-  uint32_t hi = (uint32_t)(key >> 32);
-  const uint32_t* c = table + (mix64(key ^ s1) & mask) * 4;
-  if (c[0] == lo && c[1] == hi) { *tf = c[2]; *slot = (int32_t)c[3]; return; }
-  c = table + ((mix64(key ^ s2) & mask) + m) * 4;
-  if (c[0] == lo && c[1] == hi) { *tf = c[2]; *slot = (int32_t)c[3]; return; }
-  *tf = 0; *slot = -1;
-}
-
 // Fused sparse-index ASCII batch query: encode + canonicalise + verified
 // cuckoo probes + strand (the whole get_tf_values host hot path; mirrors
 // Sparse23Index._resolve_host exactly).
