@@ -19,4 +19,10 @@ __version__ = "0.1.0"
 from aindex_tpu.api import AIndex  # noqa: E402
 from aindex_tpu.core.codec import hamming_distance, revcomp as get_revcomp  # noqa: E402
 
-__all__ = ["AIndex", "get_revcomp", "hamming_distance", "__version__"]
+#: Drop-in name for users porting from the reference's pybind module
+#: (``from aindex_cpp import AindexWrapper``): AIndex carries the wrapper's
+#: full ~46-method surface (PARITY.md §L2), so the alias is exact.
+AindexWrapper = AIndex
+
+__all__ = ["AIndex", "AindexWrapper", "get_revcomp", "hamming_distance",
+           "__version__"]
