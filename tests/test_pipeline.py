@@ -37,6 +37,23 @@ class TestStreamChunks:
             assert go == wo
             assert (gp == wp).all()
 
+    def test_huge_single_piece_matches_blob_chunks(self):
+        """One piece much larger than the chunk (whole-chromosome case,
+        exercised through the O(N) cursor buffer) plus small followers."""
+        rng = np.random.default_rng(55)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        big = np.concatenate([bases[rng.integers(0, 4, size=50000)],
+                              np.array([10], np.uint8)])
+        smalls = [np.concatenate([bases[rng.integers(0, 4, size=40)],
+                                  np.array([10], np.uint8)])
+                  for _ in range(5)]
+        blob = np.concatenate([big] + smalls)
+        got = list(stream_blob_chunks(iter([big] + smalls), 23, 4096))
+        want = list(blob_chunks(blob, 23, 4096))
+        assert len(got) == len(want)
+        for (gp, go), (wp, wo) in zip(got, want):
+            assert go == wo and (gp == wp).all()
+
     def test_streaming_count_parity(self, reads):
         from aindex_tpu.index.dense13 import Dense13Index
         from aindex_tpu.index.sparse23 import (count_canonical_kmers,
