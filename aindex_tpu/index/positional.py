@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aindex_tpu.constants import SPACE_13, SUFFIX_INDEX, SUFFIX_INDICES
+from aindex_tpu.constants import SUFFIX_INDEX, SUFFIX_INDICES
 from aindex_tpu.core.reads import blob_chunks
 from aindex_tpu.index.sparse23 import Sparse23Index
 from aindex_tpu.kernels.encode import packed_window_codes

@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from aindex_tpu.kernels.encode import revcomp_code13, revcomp_code64
+from aindex_tpu.kernels.encode import revcomp_code13
 
 
 @jax.jit

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import shard_map
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from aindex_tpu.constants import K13, SPACE_13
 from aindex_tpu.kernels.encode import unpack_base_codes, window_codes

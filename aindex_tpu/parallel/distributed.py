@@ -23,7 +23,7 @@ import os
 
 import jax
 
-from aindex_tpu.parallel.mesh import DATA_AXIS, INDEX_AXIS, make_mesh
+from aindex_tpu.parallel.mesh import make_mesh
 
 logger = logging.getLogger(__name__)
 
