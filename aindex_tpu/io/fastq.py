@@ -8,6 +8,7 @@ the compute_reads transformation (paired-end reads joined as
 
 from __future__ import annotations
 
+import gzip
 import os
 
 import numpy as np
@@ -15,10 +16,30 @@ import numpy as np
 from aindex_tpu.core.codec import revcomp
 
 
-def sniff_format(path: str) -> str:
-    """'fasta' | 'fastq' | 'reads' by first byte ('>' / '@' / other)."""
+def is_gzip(path: str) -> bool:
     with open(path, "rb") as f:
-        first = f.read(1)
+        return f.read(2) == b"\x1f\x8b"
+
+
+def open_text(path: str):
+    """Text handle with transparent gzip decompression (detected by magic,
+    not extension). The reference requires a separate destructive
+    ``gzip -d`` pass (/root/reference/scripts/compute_aindex.py:104-107);
+    here every reader streams .gz inputs in place."""
+    if is_gzip(path):
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def sniff_format(path: str) -> str:
+    """'fasta' | 'fastq' | 'reads' by first byte ('>' / '@' / other);
+    gzipped inputs are sniffed on the decompressed stream."""
+    if is_gzip(path):
+        with gzip.open(path, "rb") as f:
+            first = f.read(1)
+    else:
+        with open(path, "rb") as f:
+            first = f.read(1)
     if first == b">":
         return "fasta"
     if first == b"@":
@@ -29,7 +50,7 @@ def sniff_format(path: str) -> str:
 def iter_fasta(path: str):
     """Yield (header, sequence) with multi-line sequences concatenated."""
     header, parts = None, []
-    with open(path) as f:
+    with open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if line.startswith(">"):
@@ -44,7 +65,7 @@ def iter_fasta(path: str):
 
 def iter_fastq(path: str):
     """Yield (header, sequence) from a 4-line-record FASTQ."""
-    with open(path) as f:
+    with open_text(path) as f:
         while True:
             head = f.readline()
             if not head:
@@ -63,7 +84,7 @@ def read_sequences(path: str, fmt: str | None = None) -> list[str]:
     if fmt == "fastq":
         return [seq for _, seq in iter_fastq(path)]
     seqs = []
-    with open(path) as f:
+    with open_text(path) as f:
         for line in f:
             line = line.strip()
             if line:
@@ -84,7 +105,7 @@ def iter_sequence_bytes(path: str, fmt: str | None = None):
         it = (seq for _, seq in iter_fastq(path))
     else:
         def plain():
-            with open(path) as f:
+            with open_text(path) as f:
                 for line in f:
                     line = line.strip()
                     if line:
@@ -115,7 +136,10 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
     ridx_path = output_prefix + ".ridx"
     header_path = output_prefix + ".header"
 
-    if use_native is not False:
+    gz_input = is_gzip(input1) or (input2 and is_gzip(input2))
+    if use_native is not False and not gz_input:
+        # the native reader streams raw files; gzipped inputs take the
+        # Python path (transparent decompression)
         from aindex_tpu import native as native_mod
         n = native_mod.compute_reads_native(input1, input2, read_type,
                                             output_prefix)
@@ -156,7 +180,7 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
                 fhead.write(f"{head}\t{start}\t{len(s)}\n")
                 _write(fout, fidx, s)
     elif read_type == "reads":
-        with open(input1) as fin, open(ridx_path, "w") as fidx:
+        with open_text(input1) as fin, open(ridx_path, "w") as fidx:
             lines = [ln.rstrip("\n") for ln in fin]
         if os.path.abspath(input1) != os.path.abspath(reads_path):
             with open(reads_path, "w") as fout:

@@ -147,3 +147,35 @@ class TestNativeQueryEngine:
         np.testing.assert_array_equal(tf_n, tf_p)
         np.testing.assert_array_equal(slot_n, slot_p)
         np.testing.assert_array_equal(strand_n, strand_p)
+
+
+class TestGzipInputs:
+    """Transparent gzip decompression for every input reader (the
+    reference needs a manual destructive `gzip -d` pass)."""
+
+    def test_compute_reads_gz_matches_plain(self, tmp_path):
+        import gzip
+        import shutil
+        r1, r2 = f"{DATA}/test_R1.fastq", f"{DATA}/test_R2.fastq"
+        g1, g2 = str(tmp_path / "r1.fq.gz"), str(tmp_path / "r2.fq.gz")
+        for src, dst in ((r1, g1), (r2, g2)):
+            with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
+                shutil.copyfileobj(fi, fo)
+        plain = io_fastq.compute_reads(r1, r2, "fastq", str(tmp_path / "p"))
+        gz = io_fastq.compute_reads(g1, g2, "fastq", str(tmp_path / "g"))
+        assert plain["n_reads"] == gz["n_reads"]
+        assert open(plain["reads"], "rb").read() == \
+            open(gz["reads"], "rb").read()
+        assert open(plain["ridx"]).read() == open(gz["ridx"]).read()
+
+    def test_sniff_and_read_gz_fasta(self, tmp_path):
+        import gzip
+        fa = f"{DATA}/test.fasta"
+        gz = str(tmp_path / "t.fa.gz")
+        with open(fa, "rb") as fi, gzip.open(gz, "wb") as fo:
+            fo.write(fi.read())
+        assert io_fastq.sniff_format(gz) == "fasta"
+        assert io_fastq.read_sequences(gz) == io_fastq.read_sequences(fa)
+        got = [bytes(a) for a in io_fastq.iter_sequence_bytes(gz)]
+        want = [bytes(a) for a in io_fastq.iter_sequence_bytes(fa)]
+        assert got == want
