@@ -432,6 +432,23 @@ class AIndex:
         engine = self._sharded23 if self._sharded23 is not None else self.sparse23
         return [2 * int(v) for v in engine.get_tf_values(kmers)]
 
+    # codes-in queries: device array in -> device uint32 array out. The
+    # full-rate TPU entry points (no string encode, no host round-trip) —
+    # encode once, keep codes on device, query at HBM-gather rate. These
+    # are the paths the BENCH headline times.
+
+    def get_tf_values_codes_13mer(self, codes, valid=None):
+        self._require(self.dense13, "13-mer index")
+        return self.dense13.get_tf_values_codes(codes, valid)
+
+    def get_total_tf_values_codes_13mer(self, codes, valid=None):
+        self._require(self.dense13, "13-mer index")
+        return self.dense13.get_total_tf_values_codes(codes, valid)
+
+    def get_tf_values_codes_23mer(self, codes, valid=None):
+        self._require(self.sparse23, "23-mer index")
+        return self.sparse23.get_tf_values_codes(codes, valid)
+
     def get_reverse_complement_13mer(self, kmer: str) -> str:
         return codec.revcomp(kmer)
 

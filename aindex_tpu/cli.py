@@ -53,8 +53,13 @@ def cmd_compute_reads(args) -> int:
         from aindex_tpu.io.fastq import sniff_format
         fmt = sniff_format(inputs[0])
         read_type = ("fastq" if len(inputs) == 2 else "se") if fmt == "fastq" else fmt
-    result = compute_reads(inputs[0], inputs[1] if len(inputs) > 1 else None,
-                           read_type, args.output)
+    if read_type == "fastq":
+        if len(inputs) != 2:
+            raise SystemExit("error: paired fastq requires exactly two "
+                             "comma-separated inputs")
+        result = compute_reads(inputs[0], inputs[1], read_type, args.output)
+    else:
+        result = compute_reads(inputs, None, read_type, args.output)
     print(f"wrote {result['reads']} ({result['n_reads']} reads), {result['ridx']}")
     return 0
 
@@ -238,7 +243,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("compute-reads", help="FASTQ/FASTA/plain -> .reads + .ridx")
     p.add_argument("-i", "--input", required=True,
-                   help="input file, or two comma-separated files for paired FASTQ")
+                   help="comma-separated input file list (exactly two for "
+                        "paired FASTQ; others concatenate)")
     p.add_argument("-t", "--type", choices=["fastq", "se", "fasta", "reads"],
                    default=None, help="input type (sniffed when omitted)")
     p.add_argument("-o", "--output", required=True, help="output prefix")
@@ -280,7 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_compute_index)
 
     p = sub.add_parser("compute-aindex", help="full pipeline: input -> all artifacts")
-    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-i", "--input", required=True,
+                   help="comma-separated input file list (exactly two for "
+                        "paired FASTQ; others concatenate)")
     p.add_argument("-t", "--type", choices=["fastq", "se", "fasta", "reads"],
                    default=None)
     p.add_argument("-o", "--output", required=True, help="output prefix")

@@ -41,29 +41,42 @@ H2D_THRESHOLD_MBPS = 256.0
 _h2d_mbps: float | None = None
 
 
-def h2d_bandwidth_mbps(probe_mb: int = 4) -> float:
-    """Measured host->device bandwidth (MB/s); one probe per process.
+def h2d_bandwidth_mbps(probe_mb: int = 4, reps: int = 3) -> float:
+    """Measured host->device bandwidth (MB/s); probed once per process.
 
-    The probe is fenced by forcing a tiny on-device reduction of the
+    Each probe is fenced by forcing a tiny on-device reduction of the
     transferred buffer (``block_until_ready`` returns before completion on
     some transports, BASELINE_LOCAL.md), so the figure slightly
     *under*-estimates raw bandwidth by one dispatch round-trip — which only
-    ever biases the policy toward the host path on slow links.
+    ever biases the policy toward the host path on slow links. The
+    best-of-``reps`` transfer is used: a single sample on a busy shared
+    host can be 2-3x slow and would misroute every subsequent batch. Host
+    buffers are allocated before the timers start (the memcpy is not part
+    of the link).
     """
     global _h2d_mbps
     if _h2d_mbps is None:
         import jax
         import jax.numpy as jnp
-        buf = np.zeros(probe_mb << 20, np.uint8)
+        import logging
+        # distinct host buffers per rep: device_put of an already-seen
+        # buffer could be served from cache on some backends
+        bufs = [np.zeros(probe_mb << 20, np.uint8) for _ in range(reps + 1)]
         fence = jax.jit(lambda x: x[:8].astype(jnp.uint32).sum())
-        # warm with the SAME shape so the timed call measures transfer +
+        # warm with the SAME shape so the timed calls measure transfer +
         # dispatch only, never XLA compilation (a different warm-up shape
         # was measured to under-report a 40 MB/s link as 5 MB/s)
-        float(fence(jax.device_put(buf)))
-        t0 = time.perf_counter()
-        float(fence(jax.device_put(buf.copy())))
-        dt = time.perf_counter() - t0
-        _h2d_mbps = probe_mb / max(dt, 1e-9)
+        float(fence(jax.device_put(bufs.pop())))
+        best = float("inf")
+        for buf in bufs:
+            t0 = time.perf_counter()
+            float(fence(jax.device_put(buf)))
+            best = min(best, time.perf_counter() - t0)
+        _h2d_mbps = probe_mb / max(best, 1e-9)
+        logging.getLogger(__name__).info(
+            "hostdev: H2D link %.1f MB/s (best of %d x %d MB) -> ASCII "
+            "batches via %s engine", _h2d_mbps, reps, probe_mb,
+            "host" if _h2d_mbps < H2D_THRESHOLD_MBPS else "device")
     return _h2d_mbps
 
 

@@ -101,6 +101,19 @@ def _gather_total(tf_total: jax.Array, codes: jax.Array, valid: jax.Array) -> ja
     return jnp.where(valid, tf, jnp.zeros((), tf.dtype))
 
 
+@jax.jit
+def _gather_codes_u32(table: jax.Array, codes: jax.Array) -> jax.Array:
+    """One HBM gather + free width cast — the full-rate codes-in query."""
+    return table[codes.astype(jnp.int32)].astype(jnp.uint32)
+
+
+@jax.jit
+def _gather_codes_valid_u32(table: jax.Array, codes: jax.Array,
+                            valid: jax.Array) -> jax.Array:
+    tf = table[codes.astype(jnp.int32)].astype(jnp.uint32)
+    return jnp.where(valid, tf, jnp.zeros((), tf.dtype))
+
+
 def _narrow(table: jax.Array) -> jax.Array:
     """Shrink a count table to the minimal exact dtype.
 
@@ -234,7 +247,24 @@ class Dense13Index:
         if pf_path is not None:
             from aindex_tpu.index.emphf import EmphfPF, unpermute_dense_tf
             raw = unpermute_dense_tf(raw, EmphfPF.load(pf_path), K13)
-        clipped = np.minimum(raw, np.iinfo(np.uint32).max).astype(np.uint32)
+        return cls._from_raw_u64(raw, tf_path)
+
+    @classmethod
+    def _from_raw_u64(cls, raw: np.ndarray, origin: str) -> "Dense13Index":
+        u32max = np.iinfo(np.uint32).max
+        over = raw > u32max
+        if over.any():
+            # counts beyond uint32 (a >600 Gbp corpus): the device table
+            # saturates, the uint64 host table stays exact — host-engine
+            # queries and save() keep full precision
+            import logging
+            logging.getLogger(__name__).warning(
+                "%s: %d of %d counts exceed uint32 (max %d); device-path "
+                "queries saturate at %d, host-path queries stay exact",
+                origin, int(over.sum()), raw.size, int(raw.max()), u32max)
+            clipped = np.minimum(raw, u32max).astype(np.uint32)
+            return cls(jnp.asarray(clipped), tf_host=raw)
+        clipped = raw.astype(np.uint32)
         # keep the host copy: it enables the zero-transfer host query engine
         # on slow H2D links (core.hostdev) at no extra cost
         return cls(jnp.asarray(clipped), tf_host=clipped)
@@ -319,8 +349,12 @@ class Dense13Index:
             host = self._host_query("fwd", codes, valid)
             if host is not None:
                 return host
+        # canonical uint32 at the API boundary: the device gather returns
+        # the narrowed table dtype (uint8/uint16), which must not leak —
+        # output dtype would otherwise vary with the measured link policy
         return np.asarray(gather_tf_valid(self.tf_query, jnp.asarray(codes),
-                                          jnp.asarray(valid)))
+                                          jnp.asarray(valid))
+                          ).astype(np.uint32, copy=False)
 
     def get_total_tf_values(self, kmers: list[str]) -> np.ndarray:
         """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543).
@@ -342,7 +376,39 @@ class Dense13Index:
                 return host
         fwd, rc = gather_tf_both_13(self.tf_query, jnp.asarray(codes),
                                     jnp.asarray(valid))
-        return np.asarray(fwd), np.asarray(rc)
+        return (np.asarray(fwd).astype(np.uint32, copy=False),
+                np.asarray(rc).astype(np.uint32, copy=False))
+
+    # -- codes-in queries (device array in -> device array out) ----------
+
+    def get_tf_values_codes(self, codes, valid=None) -> jax.Array:
+        """Forward-strand tf per pre-encoded 2-bit 13-mer code.
+
+        The full-rate query entry point: accepts a device-resident (or
+        host) uint32 code array and returns a device uint32 array — no
+        string encode, no host round-trip. One HBM gather; this is the
+        path the BENCH headline times (>=100M q/s/chip on device-resident
+        batches). Encode host strings once with
+        ``aindex_tpu.core.codec.encode_kmers`` (or on device via
+        ``kernels.encode.window_codes``), keep the codes on device, and
+        query at gather rate. ``valid=None`` asserts all codes are valid
+        (skips the mask).
+        """
+        codes = jnp.asarray(codes)
+        if valid is None:
+            return _gather_codes_u32(self.tf_query, codes)
+        return _gather_codes_valid_u32(self.tf_query, codes,
+                                       jnp.asarray(valid))
+
+    def get_total_tf_values_codes(self, codes, valid=None) -> jax.Array:
+        """fwd + rc tf per pre-encoded code, against the fused total table
+        (see ``tf_total``) — one gather. Device in -> device out; the
+        codes-path twin of get_total_tf_values."""
+        codes = jnp.asarray(codes)
+        if valid is None:
+            return _gather_codes_u32(self.tf_total, codes)
+        return _gather_codes_valid_u32(self.tf_total, codes,
+                                       jnp.asarray(valid))
 
     def get_tf_by_index(self, index: int) -> int:
         """tf by raw table index (get_tf_by_index_13mer,

@@ -136,7 +136,7 @@ class PositionalIndex:
     def build_dense13(cls, blob: np.ndarray, k: int = 13,
                       chunk: int = 1 << 22,
                       tf: np.ndarray | jax.Array | None = None,
-                      on_progress=None) -> "PositionalIndex":
+                      mesh=None, on_progress=None) -> "PositionalIndex":
         """13-mer positional index: slot = forward 2-bit code (the reference
         does a forward-only MPHF lookup per position,
         /root/reference/src/compute_aindex13.cpp:137-149).
@@ -145,10 +145,25 @@ class PositionalIndex:
         pipeline's phase 2 output); recomputed in a first streaming pass
         otherwise — mirroring the reference, whose CSR sizing also reads the
         counting phase's .tf.bin (/root/reference/src/compute_aindex13.cpp:59-64).
+
+        With ``mesh``, the fill runs data-parallel with the positions
+        array sharded by slot range (parallel.positional) — the mesh-scale
+        replacement for the reference's threaded atomic-cursor fill; the
+        result is byte-identical to the single-device build.
         """
         if tf is None:
             from aindex_tpu.index.dense13 import Dense13Index
             tf = Dense13Index.build_from_blob(blob, chunk=chunk).tf
+        if mesh is not None:
+            from aindex_tpu.parallel.positional import build_positional_sharded
+
+            def resolve(codes, valid):
+                return jnp.where(valid, codes.astype(jnp.int64),
+                                 jnp.int64(-1))
+
+            return build_positional_sharded(blob, 4 ** k, np.asarray(tf),
+                                            resolve, mesh, k, chunk,
+                                            on_progress)
 
         def chunks():
             from aindex_tpu.core.codec import pack_ascii_chunk
@@ -166,12 +181,26 @@ class PositionalIndex:
     @classmethod
     def build_sparse23(cls, blob: np.ndarray, index: Sparse23Index,
                        chunk: int = 1 << 22,
-                       on_progress=None) -> "PositionalIndex":
+                       mesh=None, on_progress=None) -> "PositionalIndex":
         """23-mer positional index: slot = verified canonical MPHF slot
         (/root/reference/src/hash.cpp:960-1060 lu_compressed_worker). The
         index's own tf array sizes the CSR; slot -1 (absent / invalid
-        window) occurrences are dropped on device."""
+        window) occurrences are dropped on device.
+
+        With ``mesh``, the fill runs data-parallel + slot-range-sharded
+        (see build_dense13); the verified slot probe runs inside each
+        device's shard against the replicated query table."""
         k = index.k
+        if mesh is not None:
+            from aindex_tpu.parallel.positional import build_positional_sharded
+
+            def resolve(codes, valid):
+                _, slot, _ = index._resolve_device(codes, valid)
+                return slot.astype(jnp.int64)
+
+            return build_positional_sharded(blob, index.n, index.tf_host,
+                                            resolve, mesh, k, chunk,
+                                            on_progress)
 
         def chunks():
             from aindex_tpu.core.codec import pack_ascii_chunk

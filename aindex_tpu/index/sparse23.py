@@ -435,15 +435,32 @@ class Sparse23Index:
         tf, _, _ = self._resolve_ascii(kmers)
         return np.asarray(tf)
 
-    def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """(fwd tf, rc tf): tf of the k-mer exactly as stored per strand.
+    def get_tf_values_codes(self, codes, valid=None) -> jax.Array:
+        """Verified tf per pre-encoded 2-bit k-mer code (device path).
 
-        (get_tf_both_directions_23mer, /root/reference/src/python_wrapper.cpp:1219-1260
-        reports (tf, 0) when found forward, (0, tf) when found as revcomp)."""
-        tf, _, strand = self._resolve_ascii(kmers)
-        tf, strand = np.asarray(tf), np.asarray(strand)
-        return (np.where(strand == 1, tf, 0).astype(tf.dtype),
-                np.where(strand == 2, tf, 0).astype(tf.dtype))
+        Device array in -> device uint32 array out: no string encode, no
+        host round-trip, no link-policy routing — the full-rate sparse
+        query entry point (two cuckoo row gathers per batch). Encode once
+        (``codec.encode_kmers`` or ``kernels.encode.window_codes``), keep
+        the codes on device, and query at gather rate. ``valid=None``
+        asserts every code is a valid k-mer.
+        """
+        codes = jnp.asarray(codes)
+        if valid is None:
+            valid = jnp.ones(codes.shape, dtype=bool)
+        tf, _, _ = self._resolve_device(codes, valid)
+        return tf.astype(jnp.uint32)
+
+    def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(fwd tf, rc tf). Both entries equal the verified canonical tf:
+        the reference's per-direction probe itself applies fwd-else-rc
+        (get_tf_value_23mer, /root/reference/src/python_wrapper.cpp:610-627),
+        so get_tf_both_directions_23mer (:1258-1273) — which probes the
+        literal k-mer and then its revcomp with that same rule — returns
+        (tf, tf) for any present k-mer and (0, 0) otherwise."""
+        tf, _, _ = self._resolve_ascii(kmers)
+        tf = np.asarray(tf)
+        return tf, tf.copy()
 
     def get_pfids(self, kmers: list[str]) -> np.ndarray:
         """Slot id per k-mer; n (invalid marker) when absent

@@ -115,7 +115,7 @@ def iter_sequence_bytes(path: str, fmt: str | None = None):
         yield np.frombuffer((seq + "\n").encode("ascii"), dtype=np.uint8)
 
 
-def compute_reads(input1: str, input2: str | None, read_type: str,
+def compute_reads(input1, input2: str | None, read_type: str,
                   output_prefix: str, use_native: bool | None = None) -> dict:
     """FASTQ(PE/SE)/FASTA/plain -> <prefix>.reads + .ridx (+ .header).
 
@@ -128,7 +128,19 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
       * reads: input already is a reads file — only the offset index is
         (re)built.
     ``.ridx`` rows are ``rid \\t start \\t end`` byte offsets into ``.reads``.
+
+    For se/fasta/reads, ``input1`` may be a LIST of files: they are
+    stream-concatenated into one reads set, as the reference pipeline does
+    for comma-separated inputs (scripts/compute_aindex.py:125-131). Paired
+    fastq takes exactly two files (the R1/R2 pairing is positional).
     """
+    inputs = list(input1) if isinstance(input1, (list, tuple)) else [input1]
+    if read_type != "fastq" and input2 is not None:
+        inputs.append(input2)
+        input2 = None
+    if read_type == "fastq":
+        if len(inputs) != 1 or not input2:
+            raise ValueError("paired fastq requires exactly two input files")
     out_dir = os.path.dirname(output_prefix)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -136,12 +148,12 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
     ridx_path = output_prefix + ".ridx"
     header_path = output_prefix + ".header"
 
-    gz_input = is_gzip(input1) or (input2 and is_gzip(input2))
-    if use_native is not False and not gz_input:
-        # the native reader streams raw files; gzipped inputs take the
-        # Python path (transparent decompression)
+    gz_input = any(is_gzip(p) for p in inputs) or (input2 and is_gzip(input2))
+    if use_native is not False and not gz_input and len(inputs) == 1:
+        # the native reader streams raw files; gzipped and multi-file
+        # inputs take the Python path (transparent decompression / concat)
         from aindex_tpu import native as native_mod
-        n = native_mod.compute_reads_native(input1, input2, read_type,
+        n = native_mod.compute_reads_native(inputs[0], input2, read_type,
                                             output_prefix)
         if n is not None:
             result = {"reads": reads_path, "ridx": ridx_path, "n_reads": n}
@@ -164,33 +176,41 @@ def compute_reads(input1: str, input2: str | None, read_type: str,
         n_reads += 1
 
     if read_type == "fastq":
-        if not input2:
-            raise ValueError("paired fastq requires two input files")
         with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx:
-            for (_, s1), (_, s2) in zip(iter_fastq(input1), iter_fastq(input2)):
+            for (_, s1), (_, s2) in zip(iter_fastq(inputs[0]),
+                                        iter_fastq(input2)):
                 _write(fout, fidx, s1 + "~" + revcomp(s2))
     elif read_type == "se":
         with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx:
-            for _, s in iter_fastq(input1):
-                _write(fout, fidx, s)
+            for path in inputs:
+                for _, s in iter_fastq(path):
+                    _write(fout, fidx, s)
     elif read_type == "fasta":
         with open(reads_path, "w") as fout, open(ridx_path, "w") as fidx, \
                 open(header_path, "w") as fhead:
-            for head, s in iter_fasta(input1):
-                fhead.write(f"{head}\t{start}\t{len(s)}\n")
-                _write(fout, fidx, s)
+            for path in inputs:
+                for head, s in iter_fasta(path):
+                    fhead.write(f"{head}\t{start}\t{len(s)}\n")
+                    _write(fout, fidx, s)
     elif read_type == "reads":
-        with open_text(input1) as fin, open(ridx_path, "w") as fidx:
-            lines = [ln.rstrip("\n") for ln in fin]
-        if os.path.abspath(input1) != os.path.abspath(reads_path):
-            with open(reads_path, "w") as fout:
-                fout.write("".join(ln + "\n" for ln in lines))
+        same_file = (len(inputs) == 1 and
+                     os.path.abspath(inputs[0]) == os.path.abspath(reads_path))
         with open(ridx_path, "w") as fidx:
-            for ln in lines:
-                end = start + len(ln)
-                fidx.write(f"{n_reads}\t{start}\t{end}\n")
-                start = end + 1
-                n_reads += 1
+            fout = None if same_file else open(reads_path, "w")
+            try:
+                for path in inputs:
+                    with open_text(path) as fin:
+                        for ln in fin:
+                            ln = ln.rstrip("\n")
+                            if fout is not None:
+                                fout.write(ln + "\n")
+                            end = start + len(ln)
+                            fidx.write(f"{n_reads}\t{start}\t{end}\n")
+                            start = end + 1
+                            n_reads += 1
+            finally:
+                if fout is not None:
+                    fout.close()
     else:
         raise ValueError(f"unknown read type: {read_type!r}")
 

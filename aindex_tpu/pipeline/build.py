@@ -77,8 +77,12 @@ def prepare_reads(inputs: list[str], read_type: str | None, prefix: str,
                   skip_existing: bool = False) -> ReadsStore:
     """Phase 1: raw input file(s) -> <prefix>.reads + .ridx (+ .header).
 
-    ``inputs`` is 1 file (se/fasta/reads) or 2 (paired fastq). Format is
-    sniffed when ``read_type`` is None (aindex/cli.py:380-399 semantics).
+    ``inputs`` is any number of files. Exactly two FASTQ files with no
+    explicit ``read_type`` are treated as a pair (aindex/cli.py:380-399
+    semantics); any other se/fasta/reads list is stream-concatenated into
+    one reads set, as the reference pipeline does for comma-separated
+    inputs (scripts/compute_aindex.py:125-131). Format is sniffed when
+    ``read_type`` is None.
     """
     t0 = time.time()
     if skip_existing and _artifacts_ok(prefix + ".reads", prefix + ".ridx"):
@@ -92,10 +96,13 @@ def prepare_reads(inputs: list[str], read_type: str | None, prefix: str,
             read_type = "fastq" if len(inputs) == 2 else "se"
         else:
             read_type = fmt
-    if len(inputs) > 2:
-        raise ValueError("at most two input files (paired-end) supported")
-    io_fastq.compute_reads(inputs[0], inputs[1] if len(inputs) == 2 else None,
-                           read_type, prefix)
+    if read_type == "fastq":
+        if len(inputs) != 2:
+            raise ValueError("paired fastq requires exactly two input files "
+                             "(use read_type='se' to concatenate singles)")
+        io_fastq.compute_reads(inputs[0], inputs[1], read_type, prefix)
+    else:
+        io_fastq.compute_reads(list(inputs), None, read_type, prefix)
     store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
     logger.info("prepare_reads: %d reads, %d bytes (%.2fs)",
                 store.n_reads, store.reads_size, time.time() - t0)
@@ -187,12 +194,15 @@ def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIn
         logger.warning("build_positional: stale artifacts; rebuilding")
     prog = _phase_progress(cfg, store.reads_size, "positional index")
     cb = prog.step if prog else None
+    mesh = cfg.resolve_mesh()
     if isinstance(index, Dense13Index):
         pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk,
-                                            tf=index.tf, on_progress=cb)
+                                            tf=index.tf, mesh=mesh,
+                                            on_progress=cb)
     else:
         pos = PositionalIndex.build_sparse23(store.blob, index,
-                                             chunk=cfg.chunk, on_progress=cb)
+                                             chunk=cfg.chunk, mesh=mesh,
+                                             on_progress=cb)
     if prog:
         prog.close()
     pos.save(cfg.prefix)

@@ -21,7 +21,6 @@ Prints ONE JSON line per metric; the FINAL line is the headline metric
 
 import json
 import os
-import statistics
 import time
 
 import numpy as np
@@ -219,41 +218,49 @@ def main():
     t = _median_time(lambda: pos23.positions_by_slots(probe23), reps=5)
     emit("positions_23mer", n23 / t, "positions/s", REF_POSITIONS_23)
 
-    # ---- HEADLINE: 13-mer batched total-tf (fused fwd+rc table) ----------
-    # A pallas shard-streaming gather was designed and raced here in an
-    # earlier round; after fixing its x64 lowering bugs it still cannot
-    # lower on this toolchain (Mosaic's gather is per-lane dynamic_gather
-    # only, jax/_src/pallas/mosaic/lowering.py:2464-2525) and was removed.
-    # XLA's native gather IS the fast path (~120M lookups/s/chip).
-    tf_total = dense.tf_total
+    # ---- 23-mer codes-in device query (public API, device-resident) ------
     @jax.jit
-    def total_tf_checksum(table, codes):
-        return table[codes.astype(jnp.int32)].astype(jnp.uint32).sum()
+    def _u64sum(x):
+        return jnp.sum(x.astype(jnp.uint64))
+
+    qn = (1 << 18) if FAST else (1 << 21)
+    qc_dev = jnp.asarray(codes23[rng.integers(0, len(codes23), size=qn)])
+    jax.block_until_ready(qc_dev)
+
+    def q23_codes():
+        return float(_u64sum(sparse.get_tf_values_codes(qc_dev)))
+
+    t = _median_time(q23_codes, reps=7)
+    emit("23mer_batch_tf_from_codes", qn / t, "queries/s/chip",
+         REF_23MER_BATCH)
+
+    # ---- HEADLINE: 13-mer batched total-tf via the PUBLIC codes-in API ---
+    # dense.get_total_tf_values_codes: device code array in -> device tf
+    # array out, one HBM gather against the fused fwd+rc table (a pallas
+    # alternative was raced in round 2 and removed: this toolchain's
+    # Mosaic lowers only per-lane dynamic_gather; XLA's native gather IS
+    # the fast path). Several async calls pipeline on device; the timed
+    # region ends at an 8-byte scalar checksum readback — the only
+    # reliable completion fence on this backend — so dispatch overhead is
+    # amortised across the batch instead of subtracted out. Query codes
+    # are generated ON device (no H2D inside or outside the timed region).
+    batch = 1 << 22 if FAST else 1 << 24
+    calls = 4
+    key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def trivial(x):
-        return x + 1
+    def _rand_codes(k):
+        return jax.random.bits(k, (batch,), jnp.uint32) & jnp.uint32(SPACE_13 - 1)
 
-    float(trivial(jnp.uint32(1)))
-    rts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        float(trivial(jnp.uint32(1)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = statistics.median(rts)
+    inputs = [_rand_codes(jax.random.fold_in(key, i)) for i in range(calls)]
+    jax.block_until_ready(inputs)
 
-    batch = 1 << 22
-    inputs = [jnp.asarray(rng.integers(0, SPACE_13, size=batch,
-                                       dtype=np.int64).astype(np.uint32))
-              for _ in range(4)]
-    float(total_tf_checksum(tf_total, inputs[0]))
-    times = []
-    for i in range(15):
-        t0 = time.perf_counter()
-        float(total_tf_checksum(tf_total, inputs[i % len(inputs)]))
-        times.append(time.perf_counter() - t0)
-    per_call = max(statistics.median(times) - roundtrip, 1e-9)
-    emit("13mer_batch_total_tf_queries", batch / per_call,
+    def headline():
+        outs = [dense.get_total_tf_values_codes(c) for c in inputs]
+        return float(sum(_u64sum(o) for o in outs))
+
+    t = _median_time(headline, reps=7)
+    emit("13mer_batch_total_tf_queries", calls * batch / t,
          "queries/s/chip", REF_13MER_BATCH)
 
 

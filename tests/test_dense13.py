@@ -64,6 +64,33 @@ class TestCounts:
             assert f == golden.get(km, 0)
             assert r == golden.get(oracle.rc(km), 0)
 
+    def test_codes_api_matches_ascii_api(self, built):
+        """The public codes-in entry points (device array in -> device
+        uint32 out) agree with the ASCII paths on the same queries."""
+        from aindex_tpu.core import codec
+        index, golden = built
+        kmers = sorted(golden)[:200] + ["G" * 13]
+        codes, valid = codec.encode_kmers(kmers, 13)
+        assert valid.all()
+        got_f = np.asarray(index.get_tf_values_codes(codes))
+        got_t = np.asarray(index.get_total_tf_values_codes(codes))
+        assert got_f.dtype == np.uint32 and got_t.dtype == np.uint32
+        np.testing.assert_array_equal(got_f, index.get_tf_values(kmers))
+        np.testing.assert_array_equal(got_t, index.get_total_tf_values(kmers))
+        # the valid mask zeroes masked entries
+        mask = np.zeros(len(kmers), dtype=bool)
+        mask[::2] = True
+        got_m = np.asarray(index.get_tf_values_codes(codes, mask))
+        np.testing.assert_array_equal(got_m, np.where(mask, got_f, 0))
+
+    def test_ascii_outputs_are_uint32(self, built):
+        index, golden = built
+        kmers = sorted(golden)[:8]
+        assert index.get_tf_values(kmers).dtype == np.uint32
+        assert index.get_total_tf_values(kmers).dtype == np.uint32
+        fwd, rev = index.get_tf_both_directions(kmers)
+        assert fwd.dtype == np.uint32 and rev.dtype == np.uint32
+
     def test_chunk_boundary_invariance(self, reads):
         """Counts must not depend on the streaming chunk size (halo overlap
         correctness — the analogue of the reference's worker pull-back)."""
@@ -101,3 +128,24 @@ class TestPersistence:
         assert os.path.getsize(path) == SPACE_13 * 8  # uint64 on disk
         again = Dense13Index.load(path)
         assert (again.tf_host == index.tf_host).all()
+
+    def test_uint32_overflow_warns_and_keeps_exact_host_table(self, caplog):
+        """Counts beyond uint32 (>600 Gbp corpora): the device table
+        saturates with a logged warning, the uint64 host table and save()
+        stay exact (VERDICT r3 weak #6)."""
+        import logging
+        raw = np.zeros(SPACE_13, dtype=np.uint64)
+        big = np.uint64(1) << np.uint64(33)
+        raw[5] = big
+        raw[7] = 3
+        with caplog.at_level(logging.WARNING, "aindex_tpu.index.dense13"):
+            idx = Dense13Index._from_raw_u64(raw, "synthetic")
+        assert any("exceed uint32" in r.message for r in caplog.records)
+        assert idx.tf_host.dtype == np.uint64
+        assert idx.tf_host[5] == big                 # host: exact
+        assert int(idx.tf[5]) == np.iinfo(np.uint32).max  # device: saturated
+        assert int(idx.tf[7]) == 3
+        # unsaturated tables load silently as uint32
+        caplog.clear()
+        idx2 = Dense13Index._from_raw_u64(raw * 0 + 2, "synthetic")
+        assert idx2.tf_host.dtype == np.uint32 and not caplog.records

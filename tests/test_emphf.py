@@ -126,6 +126,24 @@ class TestReferencePrefixLoad:
         rcs = [codec.revcomp(km) for km in kms]
         assert (idx.get_pfids(rcs) == pfids).all()
 
+    def test_both_directions_golden(self, golden_dat):
+        """get_tf_both_directions_23mer returns (tf, tf) for any present
+        k-mer: the reference's per-direction probe independently applies
+        fwd-else-rc (/root/reference/src/python_wrapper.cpp:610-627), so
+        both direction probes of :1258-1273 find the same stored entry.
+        Pinned against the reference-built golden artifacts."""
+        idx = Sparse23Index.load(PREFIX)
+        kms = list(golden_dat)
+        rcs = [codec.revcomp(km) for km in kms]
+        absent = ["A" * 23, "ACGT" * 5 + "ACG"]
+        want = np.array([golden_dat[km] for km in kms], dtype=np.uint64)
+        for batch in (kms, rcs):
+            fwd, rev = idx.get_tf_both_directions(batch)
+            np.testing.assert_array_equal(np.asarray(fwd, np.uint64), want)
+            np.testing.assert_array_equal(np.asarray(rev, np.uint64), want)
+        fwd, rev = idx.get_tf_both_directions(absent)
+        assert not fwd.any() and not rev.any()
+
     def test_api_load_from_prefix_with_positions(self, golden_dat):
         """The reference's aindex fill verifies the TRUE-canonical form
         against the checker (/root/reference/src/hash.cpp:960-1060), while

@@ -90,6 +90,63 @@ def test_2d_mesh_count_and_query(reads, eight_devices):
         [golden[km] for km in kmers]
 
 
+class TestMeshPositional:
+    """Slot-range-sharded positional build (parallel.positional) must be
+    byte-identical to the single-device sort-based build."""
+
+    def test_sparse23_positional_parity(self, reads, eight_devices):
+        from aindex_tpu.index.positional import PositionalIndex
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        single = PositionalIndex.build_sparse23(store.blob, index, chunk=512)
+        for n in (1, 2, 4, 8):
+            mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+            sharded = PositionalIndex.build_sparse23(store.blob, index,
+                                                     chunk=512, mesh=mesh)
+            np.testing.assert_array_equal(sharded.offsets, single.offsets)
+            np.testing.assert_array_equal(sharded.positions, single.positions)
+
+    def test_dense_positional_parity_small_k(self, reads, eight_devices):
+        """k=5 keeps the dense slot space tiny (4^5); the code path is the
+        k=13 one exactly (slot = forward code)."""
+        from aindex_tpu.core import codec
+        from aindex_tpu.index.positional import PositionalIndex
+        store = ReadsStore.from_sequences(reads)
+        golden = oracle.count_forward(reads, 5)
+        tf = np.zeros(4 ** 5, dtype=np.uint32)
+        codes, _ = codec.encode_kmers(sorted(golden), 5)
+        tf[codes.astype(np.int64)] = [golden[km] for km in sorted(golden)]
+        single = PositionalIndex.build_dense13(store.blob, k=5, chunk=512,
+                                               tf=tf)
+        for n in (2, 8):
+            mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+            sharded = PositionalIndex.build_dense13(store.blob, k=5,
+                                                    chunk=512, tf=tf,
+                                                    mesh=mesh)
+            np.testing.assert_array_equal(sharded.offsets, single.offsets)
+            np.testing.assert_array_equal(sharded.positions,
+                                          single.positions)
+
+    def test_dense13_positional_parity(self, reads, eight_devices):
+        """One full-size k=13 run at n=2 (4^13 slot space)."""
+        from aindex_tpu.index.positional import PositionalIndex
+        store = ReadsStore.from_sequences(reads)
+        single = PositionalIndex.build_dense13(store.blob, chunk=1024)
+        mesh = make_mesh(n_data=2, devices=eight_devices[:2])
+        sharded = PositionalIndex.build_dense13(store.blob, chunk=1024,
+                                                mesh=mesh)
+        np.testing.assert_array_equal(sharded.offsets, single.offsets)
+        np.testing.assert_array_equal(sharded.positions, single.positions)
+
+    def test_positional_mesh_empty_blob(self, eight_devices):
+        from aindex_tpu.index.positional import PositionalIndex
+        mesh = make_mesh(n_data=2, devices=eight_devices[:2])
+        tf = np.zeros(4 ** 5, dtype=np.uint32)
+        out = PositionalIndex.build_dense13(np.zeros(0, np.uint8), k=5,
+                                            tf=tf, mesh=mesh)
+        assert out.total == 0 and out.n_slots == 4 ** 5
+
+
 class TestDistributedHelpers:
     def test_initialize_noop_single_process(self, monkeypatch):
         from aindex_tpu.parallel import distributed

@@ -73,6 +73,39 @@ class TestStreamChunks:
         assert (k1 == k2).all() and (c1 == c2).all()
 
 
+class TestMultiFileInputs:
+    def test_build_all_concatenates_file_list(self, reads, tmp_path):
+        """N>2 input files stream-concatenate into one reads set (the
+        reference pipeline's comma-separated list handling,
+        /root/reference/scripts/compute_aindex.py:125-131), and the
+        resulting index equals the single-file build's."""
+        import json
+        thirds = [reads[:10], reads[10:20], reads[20:]]
+        paths = []
+        for i, part in enumerate(thirds):
+            p = tmp_path / f"part{i}.fa"
+            p.write_text("".join(f">r{j}\n{r}\n" for j, r in enumerate(part)))
+            paths.append(str(p))
+        whole = tmp_path / "whole.fa"
+        whole.write_text("".join(f">r{j}\n{r}\n"
+                                 for j, r in enumerate(reads)))
+        cfg_m = BuildConfig(prefix=str(tmp_path / "multi"), k=23)
+        build_all(paths, cfg_m)
+        cfg_1 = BuildConfig(prefix=str(tmp_path / "single"), k=23)
+        build_all([str(whole)], cfg_1)
+        for suffix in (".reads", ".tf.bin", ".kmers.bin", ".index.bin",
+                       ".indices.bin"):
+            assert (tmp_path / ("multi" + suffix)).read_bytes() == \
+                (tmp_path / ("single" + suffix)).read_bytes(), suffix
+
+    def test_paired_fastq_still_requires_two(self, tmp_path):
+        fq = tmp_path / "a.fq"
+        fq.write_text("@r\nACGT\n+\nIIII\n")
+        with pytest.raises(ValueError, match="exactly two"):
+            build_all([str(fq)] * 3, BuildConfig(prefix=str(tmp_path / "x")),
+                      read_type="fastq")
+
+
 class TestResume:
     def test_skip_existing_is_noop(self, fasta, tmp_path, caplog):
         prefix = str(tmp_path / "r.23")

@@ -142,6 +142,35 @@ class TestQueries:
             cov = index.sequence_coverage(seq)
             assert list(cov) == oracle.coverage_canonical(golden, seq, 23)
 
+    def test_codes_api_matches_ascii_api(self, built):
+        """Public codes-in entry point (device array in -> device uint32
+        out) agrees with the ASCII path, both strands, plus the mask."""
+        from aindex_tpu.core import codec
+        index, golden = built
+        kmers = sorted(golden)[:150]
+        kmers += [oracle.rc(km) for km in kmers[:50]] + ["A" * 23]
+        codes, valid = codec.encode_kmers(kmers, 23)
+        assert valid.all()
+        got = np.asarray(index.get_tf_values_codes(codes))
+        assert got.dtype == np.uint32
+        np.testing.assert_array_equal(got, np.asarray(index.get_tf_values(kmers)))
+        mask = np.zeros(len(kmers), dtype=bool)
+        mask[1::2] = True
+        got_m = np.asarray(index.get_tf_values_codes(codes, mask))
+        np.testing.assert_array_equal(got_m, np.where(mask, got, 0))
+
+    def test_both_directions_is_tf_tf(self, built):
+        """(tf, tf) semantics — each reference direction probe applies
+        fwd-else-rc (/root/reference/src/python_wrapper.cpp:610-627,
+        :1258-1273); pinned vs the golden artifacts in test_emphf.py."""
+        index, golden = built
+        kmers = sorted(golden)[:50] + ["A" * 23]
+        want = np.array([golden.get(min(km, oracle.rc(km)), 0)
+                         for km in kmers], dtype=np.uint32)
+        fwd, rev = index.get_tf_both_directions(kmers)
+        np.testing.assert_array_equal(np.asarray(fwd, np.uint32), want)
+        np.testing.assert_array_equal(np.asarray(rev, np.uint32), want)
+
     def test_stats(self, built):
         index, golden = built
         s = index.stats()
