@@ -125,10 +125,10 @@ class AIndex:
                                                     dense_slot_permutation)
                 slot_perm = dense_slot_permutation(EmphfPF.load(pf_for_13), K13)
                 raw = np.fromfile(tf_file, dtype=np.uint64, count=SPACE_13)
-                clipped = np.minimum(raw[slot_perm],
-                                     np.iinfo(np.uint32).max).astype(np.uint32)
-                import jax.numpy as jnp
-                idx.dense13 = Dense13Index(jnp.asarray(clipped))
+                # uint64-safe path: keeps the exact host table and warns
+                # if any reference count saturates the uint32 device table
+                idx.dense13 = Dense13Index._from_raw_u64(raw[slot_perm],
+                                                         tf_file)
                 idx._loaded = True
             else:
                 idx.load_13mer_index(tf_file)
@@ -154,14 +154,23 @@ class AIndex:
                 logger.warning("positional index files not found for %s", prefix)
 
         if load_reads:
-            reads_file = f"{prefix}.reads"
-            if not os.path.exists(reads_file):
-                reads_file = reads_file.replace(".23.", ".").replace(".13.", ".")
-            if os.path.exists(reads_file):
+            # reference pipelines key reads by the bare prefix (p.reads)
+            # while index artifacts carry a k suffix (p.23.*): walk the
+            # progressively extension-stripped prefixes instead of string-
+            # replacing one hardcoded pattern
+            candidates = [f"{prefix}.reads"]
+            root, ext = os.path.splitext(prefix)
+            while ext:
+                candidates.append(f"{root}.reads")
+                root, ext = os.path.splitext(root)
+            reads_file = next((c for c in candidates if os.path.exists(c)),
+                              None)
+            if reads_file is not None:
                 ridx = os.path.splitext(reads_file)[0] + ".ridx"
                 idx.load_reads(reads_file, ridx if os.path.exists(ridx) else None)
             else:
-                logger.warning("reads file not found for %s", prefix)
+                logger.warning("reads file not found for %s (tried %s)",
+                               prefix, ", ".join(candidates))
         return idx
 
     @staticmethod
@@ -878,6 +887,42 @@ class AIndex:
         self._require(self.sparse23, "23-mer index")
         row = self.sparse23.debruijn_prev([kmer], cutoff)[0]
         return dict(zip("ACGT", (int(v) for v in row)))
+
+    def _cont_dict(self, info: dict, i: int) -> dict:
+        return {
+            "A": int(info["tf"][i, 0]), "C": int(info["tf"][i, 1]),
+            "G": int(info["tf"][i, 2]), "T": int(info["tf"][i, 3]),
+            "n": int(info["n"][i]), "sum": int(info["sum"][i]),
+            "best_hit": str(info["best_hit"][i]),
+            "best_hit_tf": int(info["best_hit_tf"][i]),
+            "best_ukmer": int(info["best_ukmer"][i]),
+        }
+
+    def debruijn_next_info(self, kmer: str, cutoff: int = 0) -> Dict:
+        """Full CONT record of print_next
+        (/root/reference/src/debrujin.hpp:14-34): the 4 extension tfs plus
+        n, sum, best_hit/best_hit_tf/best_ukmer (reference tie rule: the
+        last base in ACGT order among the maxima wins)."""
+        self._require(self.sparse23, "23-mer index")
+        return self._cont_dict(self.sparse23.debruijn_next_info([kmer],
+                                                                cutoff), 0)
+
+    def debruijn_prev_info(self, kmer: str, cutoff: int = 0) -> Dict:
+        self._require(self.sparse23, "23-mer index")
+        return self._cont_dict(self.sparse23.debruijn_prev_info([kmer],
+                                                                cutoff), 0)
+
+    def debruijn_next_info_batch(self, kmers: List[str],
+                                 cutoff: int = 0) -> List[Dict]:
+        self._require(self.sparse23, "23-mer index")
+        info = self.sparse23.debruijn_next_info(kmers, cutoff)
+        return [self._cont_dict(info, i) for i in range(len(kmers))]
+
+    def debruijn_prev_info_batch(self, kmers: List[str],
+                                 cutoff: int = 0) -> List[Dict]:
+        self._require(self.sparse23, "23-mer index")
+        info = self.sparse23.debruijn_prev_info(kmers, cutoff)
+        return [self._cont_dict(info, i) for i in range(len(kmers))]
 
     # ------------------------------------------------------------------
 

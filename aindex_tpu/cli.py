@@ -176,6 +176,10 @@ def cmd_compute_aindex(args) -> int:
                       progress=getattr(args, "progress", False),
                       profile_dir=getattr(args, "profile_dir", None),
                       skip_existing=getattr(args, "skip_existing", False))
+    if getattr(args, "distributed", False):
+        from aindex_tpu.parallel import distributed
+        distributed.initialize()
+        cfg.mesh = distributed.global_mesh()
     artifacts = build_all(inputs, cfg, read_type=args.type)
     print("pipeline complete:")
     for name, path in artifacts.items():
@@ -300,6 +304,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the text .dat spectrum (sparse mode)")
     p.add_argument("--devices", type=int, default=None,
                    help="count on a data-parallel mesh over N devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host jax.distributed job (configured "
+                        "via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID or pod metadata) and build over "
+                        "every host's devices; see MULTIHOST.md")
     p.add_argument("--progress", action="store_true",
                    help="live per-phase progress (bar on a TTY, log lines "
                         "otherwise)")

@@ -88,3 +88,54 @@ def prefer_host_ascii_queries() -> bool:
     if mode == "device":
         return False
     return h2d_bandwidth_mbps() < H2D_THRESHOLD_MBPS
+
+
+# ---------------------------------------------------------------------------
+# device->host link + spectrum-reduce routing
+# ---------------------------------------------------------------------------
+
+SPECTRUM_REDUCE_ENV = "AINDEX_TPU_SPECTRUM_REDUCE"
+
+_d2h_mbps: float | None = None
+
+
+def d2h_bandwidth_mbps(probe_kb: int = 128) -> float:
+    """Measured device->host bandwidth (MB/s); one small probe per process.
+
+    Kept deliberately tiny: on a slow transport (this repo's tunneled dev
+    chip moves ~0.2 MB/s D2H) even 128 KB costs ~0.6 s — paid once, and
+    only by code that consults the spectrum routing policy.
+    """
+    global _d2h_mbps
+    if _d2h_mbps is None:
+        import jax
+        import jax.numpy as jnp
+        import logging
+        n = probe_kb << 10
+        make = jax.jit(lambda s: jnp.full((n,), s, jnp.uint8))
+        np.asarray(make(jnp.uint8(1)))          # warm: compile + transfer
+        arr = make(jnp.uint8(2))
+        arr.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(arr)                          # the D2H pull IS the fence
+        dt = time.perf_counter() - t0
+        _d2h_mbps = (probe_kb / 1024) / max(dt, 1e-9)
+        logging.getLogger(__name__).info(
+            "hostdev: D2H link %.1f MB/s (%d KB probe)", _d2h_mbps, probe_kb)
+    return _d2h_mbps
+
+
+def spectrum_reduce_mode() -> str:
+    """'device' or 'host': where the sparse k-mer spectrum reduction runs.
+
+    The device sort/segment-reduce wins on PCIe-class links, but it must
+    return ~12 bytes per unique window device->host; when the D2H link is
+    slower than the threshold (this tunnel: ~0.2 MB/s), the pull-back
+    dominates everything and the fully-host engine (shift-or windows +
+    np.unique, zero link traffic) is the faster end-to-end build. Override
+    with ``AINDEX_TPU_SPECTRUM_REDUCE=device|host``.
+    """
+    mode = os.environ.get(SPECTRUM_REDUCE_ENV, "auto")
+    if mode in ("device", "host"):
+        return mode
+    return "device" if d2h_bandwidth_mbps() >= H2D_THRESHOLD_MBPS else "host"

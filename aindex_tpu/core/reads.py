@@ -43,8 +43,16 @@ class ReadsStore:
 
     @classmethod
     def from_reads_file(cls, reads_path: str, ridx_path: str | None = None,
-                        header_path: str | None = None) -> "ReadsStore":
-        blob = np.fromfile(reads_path, dtype=np.uint8)
+                        header_path: str | None = None,
+                        mmap: bool = False) -> "ReadsStore":
+        """``mmap=True`` maps the blob instead of reading it: pages load on
+        first touch, so a multi-host build that only materialises its own
+        mesh rows (blob_chunk_batches row_range) never reads other hosts'
+        bytes from the filesystem."""
+        if mmap:
+            blob = np.memmap(reads_path, dtype=np.uint8, mode="r")
+        else:
+            blob = np.fromfile(reads_path, dtype=np.uint8)
         if ridx_path:
             rows = np.loadtxt(ridx_path, dtype=np.int64, ndmin=2)
             starts, ends = rows[:, 1].copy(), rows[:, 2].copy()
@@ -130,24 +138,8 @@ def blob_chunks(blob: np.ndarray, k: int, chunk: int = 1 << 22
 
     Yields (ascii_chunk[chunk], global_start_offset).
     """
-    if blob.size == 0:
-        return
-    if blob.size < chunk:
-        # tighten the (single) chunk to the blob: padding a 3 MB blob out
-        # to a 16 MB default chunk would spend 5x the kernel time on
-        # newline filler. Quantised to the next power of two (>= 256) so
-        # kernel shapes take at most log2 distinct values — every distinct
-        # chunk size costs an XLA compile — and stay 128-aligned for TPU
-        # tiling and the 16-base words of the packed ingest format.
-        chunk = 1 << max(max(blob.size, k + 127) - 1, 255).bit_length()
-    step = chunk - (k - 1)
-    pad_byte = ord("\n")
-    for off in range(0, max(blob.size - (k - 1), 1), step):
-        piece = blob[off:off + chunk]
-        if piece.size < chunk:
-            piece = np.concatenate(
-                [piece, np.full(chunk - piece.size, pad_byte, dtype=np.uint8)])
-        yield piece, off
+    for lazy, off in blob_chunks_lazy(blob, k, chunk):
+        yield lazy.materialise(), off
 
 
 def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
@@ -195,7 +187,8 @@ def stream_blob_chunks(pieces: Iterator[np.ndarray], k: int,
             yield padded, off
 
 
-def blob_chunk_batches(blob: np.ndarray, k: int, chunk: int, rows: int
+def blob_chunk_batches(blob: np.ndarray, k: int, chunk: int, rows: int,
+                       row_range: range | None = None
                        ) -> Iterator[np.ndarray]:
     """Group consecutive overlapping chunks into [rows, chunk] batches.
 
@@ -205,15 +198,71 @@ def blob_chunk_batches(blob: np.ndarray, k: int, chunk: int, rows: int
     is padded with all-newline rows (zero valid windows). This is the unit
     of data-parallel device streaming: the row axis shards over the mesh's
     ``data`` axis.
+
+    ``row_range`` selects which rows of each batch to materialise (the
+    multi-host input shard: each host packs only its own mesh rows).
+    Non-selected rows are never copied out of ``blob`` — with a memmapped
+    blob their file pages are never read. Yielded batches then have
+    ``len(row_range)`` rows at the same global chunk grid.
     """
+    sel = row_range if row_range is not None else range(rows)
     batch: list[np.ndarray] = []
-    for piece, _ in blob_chunks(blob, k, chunk):
-        batch.append(piece)
-        if len(batch) == rows:
+    i = 0
+    width = None
+    for piece, _ in blob_chunks_lazy(blob, k, chunk):
+        if width is None:
+            width = piece.width
+        if i in sel:
+            batch.append(piece.materialise())
+        i += 1
+        if i == rows:
             yield np.stack(batch)
-            batch = []
-    if batch:
-        width = batch[0].size  # blob_chunks may tighten chunk for small blobs
-        pad = np.full((rows - len(batch), width), ord("\n"), dtype=np.uint8)
-        yield np.concatenate([np.stack(batch), pad]) if pad.size \
-            else np.stack(batch)
+            batch, i = [], 0
+    if i:
+        n_sel = sum(1 for r in sel if r < i)
+        pad_rows = len(sel) - n_sel
+        if batch or pad_rows:
+            stacked = (np.stack(batch) if batch
+                       else np.zeros((0, width), np.uint8))
+            pad = np.full((pad_rows, width), ord("\n"), dtype=np.uint8)
+            yield np.concatenate([stacked, pad]) if pad.size else stacked
+
+
+@dataclasses.dataclass
+class _LazyChunk:
+    """A blob chunk that is sliced (and padded) only when materialised —
+    so a host can skip other hosts' rows without touching their bytes."""
+    blob: np.ndarray
+    off: int
+    width: int
+
+    def materialise(self) -> np.ndarray:
+        piece = np.asarray(self.blob[self.off:self.off + self.width])
+        if piece.size < self.width:
+            piece = np.concatenate(
+                [piece, np.full(self.width - piece.size, ord("\n"),
+                                dtype=np.uint8)])
+        return piece
+
+
+def blob_chunks_lazy(blob: np.ndarray, k: int,
+                     chunk: int) -> Iterator[tuple[_LazyChunk, int]]:
+    """``blob_chunks`` grid without materialising pieces (see _LazyChunk).
+
+    Small blobs tighten the (single) chunk to the next power of two
+    (>= 256): padding a 3 MB blob out to a 16 MB default chunk would spend
+    5x the kernel time on newline filler, while power-of-two quantisation
+    keeps distinct kernel shapes (each one an XLA compile) to log2 many
+    and 128-aligned for TPU tiling / the packed ingest's 16-base words.
+    NOTE: when the requested ``chunk`` is not itself a power of two, the
+    quantised single chunk may be LARGER than requested (chunk=3MB over a
+    2.5MB blob yields one 4MB piece) — callers sizing buffers from
+    ``chunk`` should round it up to a power of two themselves.
+    """
+    if blob.size == 0:
+        return
+    if blob.size < chunk:
+        chunk = 1 << max(max(blob.size, k + 127) - 1, 255).bit_length()
+    step = chunk - (k - 1)
+    for off in range(0, max(blob.size - (k - 1), 1), step):
+        yield _LazyChunk(blob, off, chunk), off

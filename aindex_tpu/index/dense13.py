@@ -49,9 +49,12 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
     from aindex_tpu.core.reads import blob_chunk_batches
     from aindex_tpu.parallel.count13 import count13_sharded_accumulate
     from aindex_tpu.parallel.mesh import DATA_AXIS
+    from aindex_tpu.parallel import distributed as dist
 
     n_data = mesh.shape[DATA_AXIS]
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
+    rows = dist.local_data_rows(mesh) if dist.is_multiprocess() \
+        else range(n_data)
     # device-side fill, replicated: materialising 268 MB of host zeros and
     # pushing them over the link would cost seconds on slow transports
     counts = jax.jit(lambda: jnp.zeros((SPACE_13,), jnp.uint32),
@@ -59,10 +62,11 @@ def _count_blob_sharded(blob: np.ndarray, mesh, chunk: int,
     pending = None
     done = 0
     step = (chunk - 12) * n_data                 # bytes advanced per batch
-    for batch in blob_chunk_batches(blob, K13, chunk, n_data):
+    for batch in blob_chunk_batches(blob, K13, chunk, n_data,
+                                    row_range=rows):
         packed, vbits = codec.pack_ascii_chunk(batch)
-        nxt = (jax.device_put(packed, data_spec),   # async H2D of batch i+1
-               jax.device_put(vbits, data_spec))
+        nxt = (dist.put_row_sharded(packed, data_spec, n_data),  # async H2D
+               dist.put_row_sharded(vbits, data_spec, n_data))
         if pending is not None:
             counts = count13_sharded_accumulate(counts, *pending, mesh=mesh)
         pending = nxt

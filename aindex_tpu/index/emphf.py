@@ -81,9 +81,16 @@ def _kmer_text_words(codes: np.ndarray, k: int) -> np.ndarray:
 def jenkins_triple_codes(codes: np.ndarray, k: int, seed: int):
     """(h0, h1, h2) of each k-mer's ASCII text, bit-identical to
     jenkins64_hasher::operator()(byte_range_t) for lengths <= 32
-    (base_hash.hpp:38-91). Vectorised over the batch."""
+    (base_hash.hpp:38-91). Vectorised over the batch; large batches route
+    to the scalar-C twin (native.jenkins_triple_codes, same bits, ~10x —
+    the numpy path's [batch, k] broadcast temporaries are memory-bound)."""
     if k > 32:
         raise ValueError("jenkins_triple_codes supports k <= 32")
+    codes = np.asarray(codes, dtype=np.uint64)
+    if codes.size >= (1 << 16):
+        from aindex_tpu import native
+        if native.available():
+            return native.jenkins_triple_codes(codes, k, int(seed))
     words = _kmer_text_words(codes, k)
     n = words.shape[0]
     a = np.full(n, seed, dtype=np.uint64)
@@ -184,13 +191,18 @@ class EmphfPF:
             # The trailing block ranks are recomputed from the words.
         return cls._from_words(n, domain, seed, words)
 
+    #: byte -> its four 2-bit fields (little-endian), so unpacking a word
+    #: is one uint8 LUT gather instead of a [words, 32] uint64 broadcast
+    #: shift (measured 45x faster on the 82M-node 13-mer vector)
+    _BITPAIR_LUT = np.array([[(v >> (2 * i)) & 3 for i in range(4)]
+                             for v in range(256)], dtype=np.uint8)
+
     @classmethod
     def _from_words(cls, n: int, domain: int, seed: int,
                     words: np.ndarray) -> "EmphfPF":
         m_size = 3 * domain
-        shifts = (np.arange(32, dtype=np.uint64) * _U64(2))[None, :]
-        values = ((words[:, None] >> shifts) & _U64(3)).astype(np.uint8) \
-            .reshape(-1)[:m_size]
+        # uint64 little-endian: byte j of a word holds values 4j..4j+3
+        values = cls._BITPAIR_LUT[words.view(np.uint8)].reshape(-1)[:m_size]
         nonzero = values != 0
         ranks = np.zeros(m_size, dtype=np.int64)
         np.cumsum(nonzero[:-1], out=ranks[1:])
@@ -254,6 +266,63 @@ class EmphfPF:
             if trial >= 2:
                 domain = int(domain * 1.05) + 1
         raise RuntimeError(f"emphf peeling failed after {max_trials} trials (n={n})")
+
+    @classmethod
+    def build_exact(cls, codes: np.ndarray, k: int,
+                    max_trials: int = 64) -> "EmphfPF":
+        """Bit-exact twin of the reference builder (compute_mphf_seq).
+
+        Reproduces the reference construction end to end: the same
+        mt19937_64(37) seed sequence (mphf.hpp:45-50), the same sequential
+        peel order (hypergraph_sorter_seq.hpp:63-91 — node-scan + FIFO
+        over each peeled edge's v1/v2), and the same reverse assignment
+        (mphf.hpp:57-64). Given the same key SET, ``save`` then emits a
+        .pf byte-identical to the reference's (construction depends only
+        on the set: the XOR adjacency is insertion-order-independent).
+        Verified against reference-built golden artifacts in
+        tests/test_emphf.py and tests/test_golden13.py.
+
+        The peel itself is the native sequential pass
+        (native.emphf_peel_assign); the pure-Python fallback is exact too
+        but slow — fine for small key sets.
+        """
+        from aindex_tpu import native
+        codes = np.asarray(codes, dtype=np.uint64)
+        n = len(codes)
+        if n == 0:
+            return cls(0, 1, 0, np.zeros(3, np.uint8), np.zeros(3, np.int64))
+        if len(np.unique(codes)) != n:
+            raise ValueError("MPHF keys must be distinct")
+        domain = (int(np.ceil(1.23 * n)) + 2) // 3  # mphf.hpp:26
+        if 3 * domain >= (1 << 32):
+            raise ValueError("key set too large for uint32 node ids")
+        rng = _MT19937_64(37)                       # mphf.hpp:45
+        for _trial in range(max_trials):
+            seed = rng.next()
+            d = _U64(domain)
+            # chunked hashing: the [batch, k] broadcast temporaries of the
+            # jenkins kernel are ~100 bytes/key — chunking bounds them
+            n0 = np.empty(n, np.uint32)
+            n1 = np.empty(n, np.uint32)
+            n2 = np.empty(n, np.uint32)
+            step = 1 << 21
+            for s in range(0, n, step):
+                h0, h1, h2 = jenkins_triple_codes(codes[s:s + step], k,
+                                                  _U64(seed))
+                n0[s:s + step] = h0 % d
+                n1[s:s + step] = (h1 % d) + d
+                n2[s:s + step] = (h2 % d) + _U64(2) * d
+            if native.available():
+                g = native.emphf_peel_assign(n0, n1, n2, domain)
+            else:
+                g = _peel_assign_py(n0, n1, n2, domain)
+            if g is not None:
+                nonzero = g != 0
+                ranks = np.zeros(3 * domain, dtype=np.int64)
+                np.cumsum(nonzero[:-1], out=ranks[1:])
+                return cls(n, domain, seed, g, ranks)
+        raise RuntimeError(
+            f"emphf-exact peeling failed after {max_trials} trials (n={n})")
 
     @staticmethod
     def is_emphf_file(path: str) -> bool:
@@ -334,6 +403,91 @@ class EmphfPF:
         return values
 
 
+class _MT19937_64:
+    """std::mt19937_64, exactly (the reference builder's trial RNG,
+    mphf.hpp:45). Standard public algorithm (Matsumoto & Nishimura
+    parameters for the 64-bit variant); only ``next()`` is needed."""
+
+    _N, _M = 312, 156
+    _MATRIX_A = 0xB5026F5AA96619E9
+    _UM, _LM = 0xFFFFFFFF80000000, 0x7FFFFFFF
+    _MASK = 0xFFFFFFFFFFFFFFFF
+
+    def __init__(self, seed: int):
+        mt = [0] * self._N
+        mt[0] = seed & self._MASK
+        for i in range(1, self._N):
+            mt[i] = (6364136223846793005
+                     * (mt[i - 1] ^ (mt[i - 1] >> 62)) + i) & self._MASK
+        self._mt = mt
+        self._idx = self._N
+
+    def next(self) -> int:
+        if self._idx >= self._N:
+            mt, N, M = self._mt, self._N, self._M
+            for i in range(N):
+                x = (mt[i] & self._UM) | (mt[(i + 1) % N] & self._LM)
+                y = mt[(i + M) % N] ^ (x >> 1)
+                mt[i] = y ^ self._MATRIX_A if x & 1 else y
+            self._idx = 0
+        x = self._mt[self._idx]
+        self._idx += 1
+        x ^= (x >> 29) & 0x5555555555555555
+        x ^= (x << 17) & 0x71D67FFFEDA60000 & self._MASK
+        x ^= (x << 37) & 0xFFF7EEE000000000 & self._MASK
+        x ^= x >> 43
+        return x & self._MASK
+
+
+def _peel_assign_py(n0: np.ndarray, n1: np.ndarray, n2: np.ndarray,
+                    domain: int) -> np.ndarray | None:
+    """Pure-Python twin of native.emphf_peel_assign (exact order; slow —
+    for small key sets and native-less environments)."""
+    m = 3 * domain
+    deg = np.zeros(m, np.int64)
+    v1s = np.zeros(m, np.int64)
+    v2s = np.zeros(m, np.int64)
+    for a_arr, b_arr, c_arr in ((n0, n1, n2),):
+        np.add.at(deg, a_arr, 1)
+        np.add.at(deg, b_arr, 1)
+        np.add.at(deg, c_arr, 1)
+        np.bitwise_xor.at(v1s, a_arr, b_arr.astype(np.int64))
+        np.bitwise_xor.at(v2s, a_arr, c_arr.astype(np.int64))
+        np.bitwise_xor.at(v1s, b_arr, a_arr.astype(np.int64))
+        np.bitwise_xor.at(v2s, b_arr, c_arr.astype(np.int64))
+        np.bitwise_xor.at(v1s, c_arr, a_arr.astype(np.int64))
+        np.bitwise_xor.at(v2s, c_arr, b_arr.astype(np.int64))
+    order: list[tuple[int, int, int]] = []
+
+    def visit(v: int) -> None:
+        if deg[v] != 1:
+            return
+        e1, e2 = int(v1s[v]), int(v2s[v])
+        order.append((v, e1, e2))
+        x0, x1, x2 = sorted((v, e1, e2))
+        for me, oa, ob in ((x0, x1, x2), (x1, x0, x2), (x2, x0, x1)):
+            deg[me] -= 1
+            v1s[me] ^= oa
+            v2s[me] ^= ob
+
+    qp = 0
+    for v in range(m):
+        visit(v)
+        while qp < len(order):
+            _, a, b = order[qp]
+            visit(a)
+            visit(b)
+            qp += 1
+    if len(order) < len(n0):
+        return None
+    g = np.zeros(m, np.uint8)
+    for v0, v1, v2 in reversed(order):
+        target = (v0 > v1) + (v0 > v2)
+        val = (target - int(g[v1]) - int(g[v2])) % 3
+        g[v0] = val if val else 3
+    return g
+
+
 class EmphfMPHFAdapter:
     """Duck-typed stand-in for aindex_tpu.index.mphf.MPHF backed by an
     EmphfPF, so a Sparse23Index can run directly on reference-built `.pf`
@@ -364,18 +518,31 @@ class EmphfMPHFAdapter:
         return cls(EmphfPF.build(np.asarray(keys, dtype=np.uint64), k), k)
 
 
+_PERM_CACHE: dict = {}
+
+
 def dense_slot_permutation(pf: EmphfPF, k: int, chunk: int = 1 << 22
                            ) -> np.ndarray:
     """int64[4^k]: MPHF slot of every k-mer code, in code order — the
     permutation between the reference's dense slot-ordered tables and our
-    code-ordered ones (SURVEY.md section 7.1)."""
+    code-ordered ones (SURVEY.md section 7.1).
+
+    The last result is cached by (n, domain, seed, k) — those four values
+    fully determine the lookup function — so loading a table and its
+    positional index against the same .pf hashes the 4^k space once."""
     space = 4 ** k
     if pf.n != space:
         raise ValueError(f"pf covers {pf.n} keys, expected the full 4^{k}")
+    key = (pf.n, pf.domain, pf.seed, k)
+    hit = _PERM_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = np.empty(space, dtype=np.int64)
     for start in range(0, space, chunk):
         codes = np.arange(start, min(start + chunk, space), dtype=np.uint64)
         out[start:start + len(codes)] = pf.lookup_codes(codes, k)
+    _PERM_CACHE.clear()   # hold exactly one (512 MB at k=13)
+    _PERM_CACHE[key] = out
     return out
 
 

@@ -61,7 +61,7 @@ def _is_reference_mphf(mphf) -> bool:
 
 
 def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
-                          reduce: str = "device", mesh=None, on_progress=None
+                          reduce: str = "auto", mesh=None, on_progress=None
                           ) -> tuple[np.ndarray, np.ndarray]:
     """(unique canonical codes, counts) over all valid windows of the blob.
 
@@ -72,40 +72,52 @@ def count_canonical_kmers(blob: np.ndarray, k: int = K23, chunk: int = 1 << 22,
     * ``mesh`` given: data-parallel multi-device reduction, key-range
       sharded with one all_gather per batch
       (aindex_tpu.parallel.spectrum23);
-    * ``reduce="device"`` (default): per-chunk sort + segment-reduce entirely
-      on device (aindex_tpu.kernels.spectrum) — only the already-unique
+    * ``reduce="device"``: per-chunk sort + segment-reduce entirely on
+      device (aindex_tpu.kernels.spectrum) — only the already-unique
       partial spectra come back to the host;
-    * ``reduce="host"``: per-chunk np.unique on the host (the conservative
-      path; also the reference for testing the device reduction).
+    * ``reduce="host"``: entirely on the host (shift-or windows +
+      np.unique), zero link traffic — the right engine when the D2H link
+      is slow (the device engine must return ~12 bytes per unique window);
+    * ``reduce="auto"`` (default): measured-link policy
+      (core.hostdev.spectrum_reduce_mode, override with
+      ``AINDEX_TPU_SPECTRUM_REDUCE``).
     """
     from aindex_tpu.kernels.spectrum import (chunk_spectrum_packed,
+                                             host_chunk_spectrum,
                                              merge_spectra)
     if mesh is not None:
         from aindex_tpu.parallel.spectrum23 import count_canonical_kmers_sharded
         return count_canonical_kmers_sharded(blob, mesh, k, chunk,
                                              on_progress=on_progress)
+    if reduce == "auto":
+        from aindex_tpu.core.hostdev import spectrum_reduce_mode
+        reduce = spectrum_reduce_mode()
     if reduce not in ("device", "host"):
-        raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
+        raise ValueError(f"reduce must be 'auto', 'device' or 'host', "
+                         f"got {reduce!r}")
     parts: list[tuple[np.ndarray, np.ndarray]] = []
+
+    if reduce == "host":
+        for piece, off in blob_chunks(blob, k, chunk):
+            keys, counts = host_chunk_spectrum(piece, k)
+            if keys.size:
+                parts.append((keys, counts))
+            if on_progress is not None:
+                on_progress(min(off + chunk, blob.size))
+        return merge_spectra(parts)
+
     pending = None  # (device_chunk, bytes_done): H2D overlaps device compute
 
     def reduce_one(piece_dev):
-        if reduce == "device":
-            keys, counts, n_unique = chunk_spectrum_packed(*piece_dev, k)
-            n = int(n_unique)
-            if n:
-                parts.append((np.asarray(keys[:n]), np.asarray(counts[:n])))
-        else:
-            canon, valid = _extract_canonical(piece_dev, k)
-            canon_np = np.asarray(canon)[np.asarray(valid)]
-            if canon_np.size:
-                parts.append(np.unique(canon_np, return_counts=True))
+        keys, counts, n_unique = chunk_spectrum_packed(*piece_dev, k)
+        n = int(n_unique)
+        if n:
+            parts.append((np.asarray(keys[:n]), np.asarray(counts[:n])))
 
     def to_device(piece):
-        if reduce == "device":  # packed ingest: 0.375 bytes/base on the wire
-            packed, vbits = codec.pack_ascii_chunk(piece)
-            return (jax.device_put(packed), jax.device_put(vbits))
-        return jax.device_put(piece)
+        # packed ingest: 0.375 bytes/base on the wire
+        packed, vbits = codec.pack_ascii_chunk(piece)
+        return (jax.device_put(packed), jax.device_put(vbits))
 
     for piece, off in blob_chunks(blob, k, chunk):
         nxt = (to_device(piece), min(off + chunk, blob.size))
@@ -563,6 +575,47 @@ class Sparse23Index:
         if cutoff > 0:
             tf = np.where(tf <= cutoff, 0, tf)
         return tf
+
+    def _cont_info(self, ext_codes: np.ndarray, cutoff: int) -> dict:
+        """Batched CONT record (/root/reference/src/debrujin.hpp:14-34):
+        per k-mer the 4 extension tfs plus n (nonzero count), sum, and the
+        best hit. The reference's if-chain takes the LAST base in ACGT
+        order among the maxima (debrujin.cpp:56-75: every comparison is
+        >=, later ifs overwrite), so ties resolve toward T — reproduced
+        exactly, including the all-zero case (best_hit = 'T', tf 0)."""
+        tf = self._ext_tf(ext_codes, cutoff).astype(np.uint32)
+        best = 3 - np.argmax(tf[:, ::-1], axis=1)  # last argmax in ACGT
+        rows = np.arange(tf.shape[0])
+        return {
+            "tf": tf,
+            "n": (tf > 0).sum(axis=1).astype(np.uint32),
+            "sum": tf.sum(axis=1, dtype=np.uint64).astype(np.uint32),
+            "best_hit": np.array(list("ACGT"))[best],
+            "best_hit_tf": tf[rows, best],
+            "best_ukmer": ext_codes[rows, best].astype(np.uint64),
+        }
+
+    def debruijn_next_info(self, kmers: list[str], cutoff: int = 0) -> dict:
+        """print_next's full CONT, batched
+        (/root/reference/src/debrujin.cpp:30-76): dict of arrays ``tf``
+        [B, 4] in ACGT order, ``n``, ``sum``, ``best_hit`` (char),
+        ``best_hit_tf``, ``best_ukmer`` (the 2-bit code of the winning
+        right extension)."""
+        codes, _ = self._encode(kmers)
+        mask = np.uint64((1 << (2 * self.k)) - 1)
+        ext = ((codes[:, None] << np.uint64(2))
+               | np.arange(4, dtype=np.uint64)) & mask
+        return self._cont_info(ext, cutoff)
+
+    def debruijn_prev_info(self, kmers: list[str], cutoff: int = 0) -> dict:
+        """print_prev's full CONT, batched
+        (/root/reference/src/debrujin.cpp:120-167; its shift is hardcoded
+        to k=23 — generalised to this index's k)."""
+        codes, _ = self._encode(kmers)
+        shift = np.uint64(2 * (self.k - 1))
+        ext = (codes[:, None] >> np.uint64(2)) | (
+            np.arange(4, dtype=np.uint64) << shift)
+        return self._cont_info(ext, cutoff)
 
     def stats(self) -> dict:
         """zero/unique/distinct/total/max spectrum statistics

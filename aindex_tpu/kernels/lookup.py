@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aindex_tpu.kernels.encode import revcomp_code13
 
@@ -60,8 +61,10 @@ def gather_tf_both_13(table: jax.Array, codes: jax.Array, valid: jax.Array,
 # 64-bit mixing for the sparse 23-mer index
 # ---------------------------------------------------------------------------
 
-_MIX_M1 = jnp.uint64(0xFF51AFD7ED558CCD)
-_MIX_M2 = jnp.uint64(0xC4CEB9FE1A85EC53)
+# np scalars, not jnp: creating a jnp scalar at import time would
+# initialise the XLA backend before jax.distributed.initialize can run
+_MIX_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_M2 = np.uint64(0xC4CEB9FE1A85EC53)
 
 
 def mix64(x: jax.Array) -> jax.Array:

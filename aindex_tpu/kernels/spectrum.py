@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 #: Sentinel sort key for invalid windows (> any 2k-bit k-mer code, k <= 31).
-SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+#: An np scalar so importing the module never initialises the XLA backend
+#: (required for jax.distributed.initialize ordering).
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -97,6 +99,45 @@ def sorted_spectrum_weighted(keys: jax.Array, weights: jax.Array):
         jnp.where(live, s, SENTINEL), mode="drop")
     n_unique = jnp.sum(is_new & live).astype(jnp.int32)
     return keys_out, counts, n_unique
+
+
+def host_window_codes(ascii_chunk: np.ndarray, k: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, valid) for every window of an ASCII byte chunk — numpy twin
+    of kernels.encode.window_codes (same k-step shift-or formulation), for
+    the zero-link-traffic host spectrum engine."""
+    from aindex_tpu.core import codec
+    base = codec.bytes_to_base_codes(ascii_chunk)
+    n_win = base.size - k + 1
+    if n_win <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    invalid = (base >= 4).astype(np.int32)
+    csum = np.concatenate([np.zeros(1, np.int32), np.cumsum(invalid,
+                                                            dtype=np.int32)])
+    valid = (csum[k:] - csum[:-k]) == 0
+    b = (base & 3).astype(np.uint64)
+    acc = b[:n_win].copy()
+    for j in range(1, k):
+        acc <<= np.uint64(2)
+        acc |= b[j:j + n_win]
+    return acc, valid
+
+
+def host_chunk_spectrum(ascii_chunk: np.ndarray, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(unique canonical keys, counts) of one chunk, entirely on the host.
+
+    The spectrum engine for slow device links (core.hostdev
+    spectrum_reduce_mode): no H2D, no D2H — window extraction is the
+    shift-or scan above, the reduction is np.unique. On PCIe-class links
+    the device sort/segment-reduce (chunk_spectrum_packed) wins instead.
+    """
+    from aindex_tpu.core import codec
+    codes, valid = host_window_codes(ascii_chunk, k)
+    live = codes[valid]
+    if not live.size:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return np.unique(codec.canonical_code(live, k), return_counts=True)
 
 
 def merge_spectra(parts: list[tuple[np.ndarray, np.ndarray]]

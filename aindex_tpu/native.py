@@ -31,6 +31,16 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.mphf_try_build.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.jenkins_triple_codes.restype = None
+    lib.jenkins_triple_codes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.emphf_peel_assign.restype = ctypes.c_int32
+    lib.emphf_peel_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.compute_reads_fastq.restype = ctypes.c_int64
     lib.compute_reads_fastq.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                         ctypes.c_char_p]
@@ -130,6 +140,45 @@ def mphf_try_build(keys: np.ndarray, seed: int, domain: int) -> np.ndarray | Non
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.c_int64(len(keys)), ctypes.c_uint64(seed),
         ctypes.c_uint64(domain),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return g if ok else None
+
+
+def jenkins_triple_codes(codes: np.ndarray, k: int, seed: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Jenkins lookup8 triple per 2-bit code — bit-identical to the numpy
+    twin in index/emphf.py, ~10x faster on large batches."""
+    lib = get_lib()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    n = len(codes)
+    h0 = np.empty(n, np.uint64)
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.jenkins_triple_codes(
+        codes.ctypes.data_as(p64), ctypes.c_int64(n), ctypes.c_int32(k),
+        ctypes.c_uint64(seed), h0.ctypes.data_as(p64),
+        h1.ctypes.data_as(p64), h2.ctypes.data_as(p64))
+    return h0, h1, h2
+
+
+def emphf_peel_assign(nodes0: np.ndarray, nodes1: np.ndarray,
+                      nodes2: np.ndarray, domain: int) -> np.ndarray | None:
+    """Bit-exact emphf peel + assignment for one seed trial: returns the
+    g vector (uint8[3*domain], 0 = unassigned) in the reference builder's
+    exact sequential order, or None when the hypergraph is not peelable.
+    Caller provides partition-offset uint32 node ids per edge."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(nodes0)
+    g = np.zeros(3 * domain, dtype=np.uint8)
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    ok = lib.emphf_peel_assign(
+        np.ascontiguousarray(nodes0, np.uint32).ctypes.data_as(p32),
+        np.ascontiguousarray(nodes1, np.uint32).ctypes.data_as(p32),
+        np.ascontiguousarray(nodes2, np.uint32).ctypes.data_as(p32),
+        ctypes.c_int64(n), ctypes.c_uint64(domain),
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return g if ok else None
 

@@ -66,8 +66,11 @@ def build_positional_sharded(blob: np.ndarray, n_slots: int, tf,
     from aindex_tpu.core.reads import blob_chunk_batches
     from aindex_tpu.index.positional import PositionalIndex, _scatter_chunk
     from aindex_tpu.kernels.encode import packed_window_codes
+    from aindex_tpu.parallel import distributed as dist
 
     n_data = mesh.shape[DATA_AXIS]
+    rows = dist.local_data_rows(mesh) if dist.is_multiprocess() \
+        else range(n_data)
     offsets = np.zeros(n_slots + 1, dtype=np.int64)
     np.cumsum(np.asarray(tf, dtype=np.int64), out=offsets[1:])
     total = int(offsets[-1])
@@ -81,7 +84,7 @@ def build_positional_sharded(blob: np.ndarray, n_slots: int, tf,
                         out_shardings=data)()
     cursor = jax.jit(lambda: jnp.zeros((n_data, m), jnp.int32),
                      out_shardings=data)()
-    loc_dev = jax.device_put(loc, data)
+    loc_dev = dist.put_row_sharded(loc[rows.start:rows.stop], data, n_data)
 
     def local(pbuf, cur, loff, pk, vb, roff):
         codes, valid = packed_window_codes(pk[0], vb[0], k,
@@ -106,19 +109,24 @@ def build_positional_sharded(blob: np.ndarray, n_slots: int, tf,
     stride = None
     row = 0
     done = 0
-    for batch in blob_chunk_batches(blob, k, chunk, n_data):
+    for batch in blob_chunk_batches(blob, k, chunk, n_data, row_range=rows):
         if stride is None:
             stride = batch.shape[1] - (k - 1)  # == windows per row
         packed, vbits = pack_ascii_chunk(batch)
-        roff = (row + np.arange(n_data, dtype=np.int64)) * stride
+        roff = ((row + np.arange(n_data, dtype=np.int64))
+                * stride)[rows.start:rows.stop]
         positions, cursor = step(positions, cursor, loc_dev,
-                                 jax.device_put(packed, data),
-                                 jax.device_put(vbits, data),
-                                 jax.device_put(roff, data))
+                                 dist.put_row_sharded(packed, data, n_data),
+                                 dist.put_row_sharded(vbits, data, n_data),
+                                 dist.put_row_sharded(roff, data, n_data))
         row += n_data
         if on_progress is not None:
             done = min(done + stride * n_data, blob.size)
             on_progress(done)
-    pos_host = np.asarray(positions)
-    out = np.concatenate([pos_host[d, :seg_len[d]] for d in range(n_data)])
-    return PositionalIndex(offsets.astype(np.uint64), out)
+    # each process materialises only its own slot-range segments; the
+    # cross-process concat (segment ranges ascend with the process index)
+    # reassembles the identical full positions array on every host
+    pos_rows = dist.local_row_shards(positions, mesh)
+    local = np.concatenate([pos_rows[d][:seg_len[d]] for d in rows])
+    return PositionalIndex(offsets.astype(np.uint64),
+                           dist.allgather_concat(local))

@@ -82,33 +82,47 @@ def count_canonical_kmers_sharded(blob: np.ndarray, mesh: Mesh, k: int,
     Streams [n_data, chunk] batches; per batch the cross-device dedup runs
     on device (one all_gather), so the host only merges the per-range
     partial spectra across batches — each a fraction of the key space.
+
+    Multi-host (jax.process_count() > 1, see parallel.distributed): each
+    host packs and feeds ONLY its own mesh rows of every batch (its input
+    shard — with a memmapped blob, other hosts' bytes are never read),
+    pulls back only its own key-range shards, and one variable-size
+    process allgather at the end concatenates the per-host range spectra
+    into the identical globally-sorted spectrum on every host.
     """
     from aindex_tpu.core.codec import pack_ascii_chunk
     from aindex_tpu.core.reads import blob_chunk_batches
     from aindex_tpu.kernels.spectrum import merge_spectra
+    from aindex_tpu.parallel import distributed as dist
 
     n_data = mesh.shape[DATA_AXIS]
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
-    shard_parts: list[list[tuple[np.ndarray, np.ndarray]]] = \
-        [[] for _ in range(n_data)]
+    rows = dist.local_data_rows(mesh) if dist.is_multiprocess() \
+        else range(n_data)
+    shard_parts: dict[int, list[tuple[np.ndarray, np.ndarray]]] = \
+        {d: [] for d in rows}
     done, step = 0, (chunk - (k - 1)) * n_data
-    for batch in blob_chunk_batches(blob, k, chunk, n_data):
+    for batch in blob_chunk_batches(blob, k, chunk, n_data, row_range=rows):
         packed, vbits = pack_ascii_chunk(batch)
         keys, counts, n_u = spectrum23_sharded(
-            jax.device_put(packed, data_spec),
-            jax.device_put(vbits, data_spec), mesh=mesh, k=k)
-        keys, counts, n_u = (np.asarray(keys), np.asarray(counts),
-                             np.asarray(n_u))
-        for d in range(n_data):
-            n = int(n_u[d])
+            dist.put_row_sharded(packed, data_spec, n_data),
+            dist.put_row_sharded(vbits, data_spec, n_data), mesh=mesh, k=k)
+        key_rows = dist.local_row_shards(keys, mesh)
+        count_rows = dist.local_row_shards(counts, mesh)
+        nu_rows = dist.local_row_shards(n_u, mesh)
+        for d in rows:
+            n = int(nu_rows[d])
             if n:
-                shard_parts[d].append((keys[d, :n], counts[d, :n]))
+                shard_parts[d].append((key_rows[d][:n], count_rows[d][:n]))
         done = min(done + step, blob.size)
         if on_progress is not None:
             on_progress(done)
-    merged = [merge_spectra(p) for p in shard_parts]
-    all_keys = np.concatenate([m[0] for m in merged]) if merged else \
+    merged = [merge_spectra(shard_parts[d]) for d in rows]
+    local_keys = np.concatenate([m[0] for m in merged]) if merged else \
         np.zeros(0, np.uint64)
-    all_counts = np.concatenate([m[1] for m in merged]) if merged else \
+    local_counts = np.concatenate([m[1] for m in merged]) if merged else \
         np.zeros(0, np.uint64)
-    return all_keys, all_counts
+    # key ranges ascend with the data row, and rows ascend with the
+    # process index — the cross-process concat is already globally sorted
+    return (dist.allgather_concat(local_keys),
+            dist.allgather_concat(local_counts))

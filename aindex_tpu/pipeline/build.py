@@ -84,9 +84,24 @@ def prepare_reads(inputs: list[str], read_type: str | None, prefix: str,
     inputs (scripts/compute_aindex.py:125-131). Format is sniffed when
     ``read_type`` is None.
     """
+    from aindex_tpu.parallel import distributed as dist
+    multi = dist.is_multiprocess()
     t0 = time.time()
+    if multi and not dist.should_write():
+        # process 0 prepares the shared artifacts; everyone else waits at
+        # the barrier, then memory-maps them — a host only ever faults in
+        # the pages of its own mesh rows (SURVEY.md §2.7 DCN data axis)
+        dist.barrier("aindex:reads-ready")
+        store = ReadsStore.from_reads_file(prefix + ".reads",
+                                           prefix + ".ridx", mmap=True)
+        logger.info("prepare_reads: mapped shared artifacts "
+                    "(%d reads, %d bytes)", store.n_reads, store.reads_size)
+        return store
     if skip_existing and _artifacts_ok(prefix + ".reads", prefix + ".ridx"):
-        store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
+        if multi:
+            dist.barrier("aindex:reads-ready")
+        store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx",
+                                           mmap=multi)
         logger.info("prepare_reads: resumed from existing artifacts "
                     "(%d reads, %d bytes)", store.n_reads, store.reads_size)
         return store
@@ -103,7 +118,10 @@ def prepare_reads(inputs: list[str], read_type: str | None, prefix: str,
         io_fastq.compute_reads(inputs[0], inputs[1], read_type, prefix)
     else:
         io_fastq.compute_reads(list(inputs), None, read_type, prefix)
-    store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx")
+    if multi:
+        dist.barrier("aindex:reads-ready")
+    store = ReadsStore.from_reads_file(prefix + ".reads", prefix + ".ridx",
+                                       mmap=multi)
     logger.info("prepare_reads: %d reads, %d bytes (%.2fs)",
                 store.n_reads, store.reads_size, time.time() - t0)
     return store
@@ -143,7 +161,10 @@ def build_dense13(store: ReadsStore, cfg: BuildConfig) -> Dense13Index:
         on_progress=prog.step if prog else None)
     if prog:
         prog.close()
-    index.save(tf_path)
+    from aindex_tpu.parallel import distributed as dist
+    if dist.should_write():
+        index.save(tf_path)
+    dist.barrier("aindex:dense13-saved")
     logger.info("build_dense13: %s (%.2fs)", index.stats(), time.time() - t0)
     return index
 
@@ -170,10 +191,13 @@ def build_sparse(store: ReadsStore, cfg: BuildConfig) -> Sparse23Index:
     if cfg.min_tf > 1:
         keep = counts >= cfg.min_tf
         keys, counts = keys[keep], counts[keep]
-    if cfg.keep_dat:
+    from aindex_tpu.parallel import distributed as dist
+    if cfg.keep_dat and dist.should_write():
         save_dat(keys, counts, cfg.k, cfg.prefix + ".dat")
     index = Sparse23Index.from_spectrum(keys, counts, cfg.k)
-    index.save(cfg.prefix)
+    if dist.should_write():
+        index.save(cfg.prefix)
+    dist.barrier("aindex:sparse-saved")
     logger.info("build_sparse: n=%d (%.2fs)", index.n, time.time() - t0)
     return index
 
@@ -205,7 +229,10 @@ def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIn
                                              on_progress=cb)
     if prog:
         prog.close()
-    pos.save(cfg.prefix)
+    from aindex_tpu.parallel import distributed as dist
+    if dist.should_write():
+        pos.save(cfg.prefix)
+    dist.barrier("aindex:positional-saved")
     logger.info("build_positional: %d positions (%.2fs)", pos.total,
                 time.time() - t0)
     return pos

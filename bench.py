@@ -133,6 +133,19 @@ def main():
     t = _median_time(spectrum_build, reps=3)
     emit("build_count_23mer_spectrum", blob_mb / t, "MB/s", REF_COUNT23_MBPS)
 
+    # ---- END-TO-END sparse build: spectrum -> merge -> MPHF -> tables ----
+    # The whole public build path (Sparse23Index.build_from_blob) with the
+    # measured-link engine choice (core.hostdev.spectrum_reduce_mode): on
+    # this tunnel the fully-host engine wins (the device engine must pull
+    # ~12 B/unique back over a ~0.2 MB/s D2H link); on PCIe-class links the
+    # device sort/segment-reduce engine wins. Reference equivalent:
+    # kmer_counter + compute_mphf_seq + compute_index end to end.
+    def sparse_e2e():
+        return Sparse23Index.build_from_blob(store.blob).n
+
+    t = _median_time(sparse_e2e, reps=3)
+    emit("build_sparse23_end_to_end", blob_mb / t, "MB/s", REF_COUNT23_MBPS)
+
     # ---- sparse index (host-built to sidestep the D2H tunnel; the device
     # spectrum above is the measured counting path) ------------------------
     codes23, pos23_all = host_window_codes(23)

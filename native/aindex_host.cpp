@@ -362,6 +362,123 @@ int64_t scan_newlines(const uint8_t* blob, int64_t size, int64_t* starts,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Jenkins lookup8 triple over 2-bit k-mer codes (k <= 32)
+// ---------------------------------------------------------------------------
+//
+// Scalar C twin of aindex_tpu/index/emphf.py:jenkins_triple_codes (itself a
+// vectorised reimplementation of the public Jenkins lookup8 hash the emphf
+// format specifies) — ~10x the numpy path for the 4^13-scale batches of
+// dense reference loads and exact emphf builds.
+
+static inline void jmix(uint64_t& a, uint64_t& b, uint64_t& c) {
+  a -= b; a -= c; a ^= c >> 43;
+  b -= c; b -= a; b ^= a << 9;
+  c -= a; c -= b; c ^= b >> 8;
+  a -= b; a -= c; a ^= c >> 38;
+  b -= c; b -= a; b ^= a << 23;
+  c -= a; c -= b; c ^= b >> 5;
+  a -= b; a -= c; a ^= c >> 35;
+  b -= c; b -= a; b ^= a << 49;
+  c -= a; c -= b; c ^= b >> 11;
+  a -= b; a -= c; a ^= c >> 12;
+  b -= c; b -= a; b ^= a << 18;
+  c -= a; c -= b; c ^= b >> 22;
+}
+
+void jenkins_triple_codes(const uint64_t* codes, int64_t n, int32_t k,
+                          uint64_t seed, uint64_t* h0, uint64_t* h1,
+                          uint64_t* h2) {
+  static const char BASES[4] = {'A', 'C', 'G', 'T'};
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t buf[32] = {0};
+    const uint64_t code = codes[i];
+    for (int32_t j = 0; j < k; ++j)
+      buf[j] = BASES[(code >> (2 * (k - 1 - j))) & 3];
+    uint64_t w[4];
+    memcpy(w, buf, 32);  // little-endian text words, zero-padded past k
+    uint64_t a = seed, b = seed, c = 0x9E3779B97F4A7C13ULL;
+    int32_t col = 0, rem = k;
+    if (k >= 24) {
+      a += w[0]; b += w[1]; c += w[2];
+      jmix(a, b, c);
+      rem -= 24; col = 3;
+    }
+    c += (uint64_t)k;
+    if (rem > 0) a += w[col];
+    if (rem > 8) b += w[col + 1];
+    if (rem > 16) c += w[col + 2] << 8;
+    jmix(a, b, c);
+    h0[i] = a; h1[i] = b; h2[i] = c;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Bit-exact emphf construction (peel + assign)
+// ---------------------------------------------------------------------------
+//
+// Reproduces the reference builder's peeling ORDER and assignment exactly
+// (hypergraph_sorter_seq.hpp:29-102 + mphf.hpp:53-64), so that — given the
+// same key set and seed — the resulting g-vector is byte-identical to what
+// compute_mphf_seq writes. The XOR-trick adjacency is order-independent,
+// but the ASSIGNMENT depends on the sequential peel order, which the
+// vectorised round-synchronous peel above cannot reproduce; this one can.
+//
+// nodes0/1/2: per-edge node ids, already partition-offset
+//             (n0 < domain <= n1 < 2*domain <= n2 < 3*domain), uint32.
+// g_out:      uint8[3*domain], caller-zeroed; unassigned nodes stay 0.
+// returns 1 when fully peelable, 0 otherwise.
+int32_t emphf_peel_assign(const uint32_t* nodes0, const uint32_t* nodes1,
+                          const uint32_t* nodes2, int64_t n, uint64_t domain,
+                          uint8_t* g_out) {
+  const uint64_t m = 3 * domain;
+  std::vector<uint32_t> deg(m, 0), v1s(m, 0), v2s(m, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t a = nodes0[i], b = nodes1[i], c = nodes2[i];
+    deg[a]++; v1s[a] ^= b; v2s[a] ^= c;   // (a, b, c)
+    deg[b]++; v1s[b] ^= a; v2s[b] ^= c;   // (b, a, c)
+    deg[c]++; v1s[c] ^= a; v2s[c] ^= b;   // (c, a, b)
+  }
+  std::vector<uint32_t> o0, o1, o2;       // peeling order (v0, v1, v2)
+  o0.reserve(n); o1.reserve(n); o2.reserve(n);
+
+  auto visit = [&](uint32_t v) {
+    if (deg[v] != 1) return;
+    const uint32_t e1 = v1s[v], e2 = v2s[v];
+    o0.push_back(v); o1.push_back(e1); o2.push_back(e2);
+    // canonicalise (x0 < x1 < x2) and delete from all three adj lists
+    uint32_t x0 = v, x1 = e1, x2 = e2;
+    if (x0 > x2) { uint32_t t = x0; x0 = x2; x2 = t; }
+    if (x0 > x1) { uint32_t t = x0; x0 = x1; x1 = t; }
+    deg[x0]--; v1s[x0] ^= x1; v2s[x0] ^= x2;
+    deg[x1]--; v1s[x1] ^= x0; v2s[x1] ^= x2;
+    deg[x2]--; v1s[x2] ^= x0; v2s[x2] ^= x1;
+  };
+
+  size_t qp = 0;
+  for (uint64_t v = 0; v < m; ++v) {
+    visit((uint32_t)v);
+    while (qp < o0.size()) {
+      // o1/o2 may reallocate inside visit — copy before the calls
+      const uint32_t a = o1[qp], b = o2[qp];
+      visit(a);
+      visit(b);
+      ++qp;
+    }
+  }
+  if ((int64_t)o0.size() < n) return 0;
+
+  // reverse assignment, emphf convention (mphf.hpp:57-64)
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const uint32_t v0 = o0[i], v1 = o1[i], v2 = o2[i];
+    const uint64_t target = (uint64_t)(v0 > v1) + (uint64_t)(v0 > v2);
+    const uint64_t assigned = (uint64_t)g_out[v1] + (uint64_t)g_out[v2];
+    const uint64_t val = (target - assigned + 9) % 3;
+    g_out[v0] = (uint8_t)(val ? val : 3);
+  }
+  return 1;
+}
+
 }  // extern "C" (reopened below — the templated helpers need C++ linkage)
 
 // ---------------------------------------------------------------------------

@@ -86,6 +86,38 @@ class TestEmphfReader:
             assert a.shape == (64,) and b.dtype == np.uint64 and c.dtype == np.uint64
 
 
+class TestEmphfExactBuild:
+    def test_rebuilds_golden_pf_byte_identical(self, golden_dat, tmp_path):
+        """build_exact is a bit-exact twin of compute_mphf_seq: same
+        mt19937_64(37) seed draws (trial 0 fails for this key set, exactly
+        as in the reference run — the golden seed is draw 1), same
+        sequential peel order, same assignment. Rebuilding from the golden
+        key set reproduces tests/golden_ref/p.23.pf byte for byte.
+        (scripts/regen_golden13.py proves the same at full 4^13 scale.)"""
+        codes, _ = codec.encode_kmers(list(golden_dat), 23)
+        pf = EmphfPF.build_exact(codes, 23)
+        out = tmp_path / "rebuilt.pf"
+        pf.save(str(out))
+        assert out.read_bytes() == open(PREFIX + ".pf", "rb").read()
+
+    def test_key_order_does_not_matter(self, golden_dat, rng, tmp_path):
+        """Construction depends only on the key SET (XOR adjacency is
+        insertion-order-independent) — shuffled input, identical bytes."""
+        codes, _ = codec.encode_kmers(list(golden_dat), 23)
+        pf = EmphfPF.build_exact(codes[rng.permutation(len(codes))], 23)
+        out = tmp_path / "shuffled.pf"
+        pf.save(str(out))
+        assert out.read_bytes() == open(PREFIX + ".pf", "rb").read()
+
+    def test_python_fallback_matches_native(self, golden_dat, monkeypatch):
+        from aindex_tpu import native
+        codes, _ = codec.encode_kmers(list(golden_dat), 23)
+        a = EmphfPF.build_exact(codes, 23)
+        monkeypatch.setattr(native, "available", lambda: False)
+        b = EmphfPF.build_exact(codes, 23)
+        assert a.seed == b.seed and (a.values == b.values).all()
+
+
 class TestEmphfBuild:
     def test_build_roundtrip(self, tmp_path, rng):
         codes = np.unique(rng.integers(0, 1 << 46, size=500).astype(np.uint64))

@@ -78,6 +78,29 @@ class TestSpectrum:
         blob = np.frombuffer(b"N" * 64 + b"\n", dtype=np.uint8)
         keys, counts = count_canonical_kmers(blob, reduce="device")
         assert keys.size == 0 and counts.size == 0
+        kh, ch = count_canonical_kmers(blob, reduce="host")
+        assert kh.size == 0 and ch.size == 0
+
+    def test_auto_reduce_env_override(self, reads, monkeypatch):
+        from aindex_tpu.core import hostdev
+        store = ReadsStore.from_sequences(reads)
+        want = count_canonical_kmers(store.blob, reduce="device")
+        for mode in ("host", "device"):
+            monkeypatch.setenv(hostdev.SPECTRUM_REDUCE_ENV, mode)
+            k, c = count_canonical_kmers(store.blob, reduce="auto")
+            assert (k == want[0]).all() and (c == want[1]).all()
+        with pytest.raises(ValueError):
+            count_canonical_kmers(store.blob, reduce="banana")
+
+    def test_host_window_codes_matches_device(self, reads):
+        from aindex_tpu.kernels.spectrum import host_window_codes
+        import jax.numpy as jnp
+        from aindex_tpu.index.sparse23 import _extract_windows
+        store = ReadsStore.from_sequences(reads)
+        ch, vh = host_window_codes(store.blob, 23)
+        cd, vd = _extract_windows(jnp.asarray(store.blob[None, :]), 23)
+        np.testing.assert_array_equal(vh, np.asarray(vd)[0])
+        np.testing.assert_array_equal(ch[vh], np.asarray(cd)[0][vh])
 
     def test_sorted_spectrum_counts(self):
         from aindex_tpu.kernels.spectrum import SENTINEL, sorted_spectrum
@@ -197,6 +220,47 @@ class TestDeBruijn:
         big = int(index.debruijn_next([km]).max())
         row = index.debruijn_next([km], cutoff=big)[0]
         assert (np.asarray(row) == 0).all()
+
+    @staticmethod
+    def _cont_oracle(tfs, exts, cutoff):
+        """Literal transcription of the reference CONT semantics
+        (/root/reference/src/debrujin.cpp:44-75): zero tf <= cutoff, then
+        the if-chain of >= comparisons — the LAST base among the maxima
+        wins (ties resolve toward T; all-zero gives best_hit 'T')."""
+        tfs = [0 if cutoff > 0 and t <= cutoff else t for t in tfs]
+        best = None
+        for i, b in enumerate("ACGT"):
+            if all(tfs[i] >= tfs[j] for j in range(4)):
+                best = (b, exts[i], tfs[i])
+        return {"tf": tfs, "n": sum(t > 0 for t in tfs), "sum": sum(tfs),
+                "best_hit": best[0], "best_ukmer": best[1],
+                "best_hit_tf": best[2]}
+
+    @pytest.mark.parametrize("direction", ["next", "prev"])
+    @pytest.mark.parametrize("cutoff", [0, 1])
+    def test_cont_info_matches_reference_semantics(self, built, direction,
+                                                   cutoff):
+        from aindex_tpu.core import codec
+        index, golden = built
+        kmers = sorted(golden)[:60] + ["A" * 23]
+        info = getattr(index, f"debruijn_{direction}_info")(kmers, cutoff)
+        for i, km in enumerate(kmers):
+            code = codec.encode_kmers([km], 23)[0][0]
+            if direction == "next":
+                exts = [((int(code) << 2) | b) & ((1 << 46) - 1)
+                        for b in range(4)]
+            else:
+                exts = [(int(code) >> 2) | (b << 44) for b in range(4)]
+            tfs = [golden.get(min(codec.decode_kmer(np.uint64(e), 23),
+                                  oracle.rc(codec.decode_kmer(np.uint64(e),
+                                                              23))), 0)
+                   for e in exts]
+            want = self._cont_oracle(tfs, exts, cutoff)
+            assert list(info["tf"][i]) == want["tf"], km
+            assert info["n"][i] == want["n"] and info["sum"][i] == want["sum"]
+            assert info["best_hit"][i] == want["best_hit"], km
+            assert info["best_hit_tf"][i] == want["best_hit_tf"]
+            assert info["best_ukmer"][i] == want["best_ukmer"]
 
 
 class TestPersistence:
