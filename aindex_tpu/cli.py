@@ -175,7 +175,8 @@ def cmd_compute_aindex(args) -> int:
                       n_devices=getattr(args, "devices", None),
                       progress=getattr(args, "progress", False),
                       profile_dir=getattr(args, "profile_dir", None),
-                      skip_existing=getattr(args, "skip_existing", False))
+                      skip_existing=getattr(args, "skip_existing", False),
+                      dat_path=getattr(args, "dat", None))
     if getattr(args, "distributed", False):
         from aindex_tpu.parallel import distributed
         distributed.initialize()
@@ -302,6 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the positional index phase")
     p.add_argument("--keep-dat", action="store_true",
                    help="also write the text .dat spectrum (sparse mode)")
+    p.add_argument("--dat", default=None, metavar="FILE",
+                   help="seed the sparse build from an EXTERNAL counter's "
+                        "text spectrum (kmer<TAB>count per line) instead of "
+                        "counting — the reference pipeline's jellyfish "
+                        "option, counter-agnostic")
     p.add_argument("--devices", type=int, default=None,
                    help="count on a data-parallel mesh over N devices")
     p.add_argument("--distributed", action="store_true",

@@ -52,6 +52,11 @@ class BuildConfig:
     n_devices: int | None = None
     progress: bool = False        # live per-phase progress bars / log lines
     profile_dir: str | None = None  # jax.profiler trace output (opt-in)
+    dat_path: str | None = None   # pre-computed text spectrum ('kmer\tcount'
+    # per line) from an EXTERNAL counter — skips the counting phase, the
+    # TPU-native equivalent of the reference pipeline's jellyfish option
+    # (/root/reference/scripts/compute_aindex.py:109-187): any counter
+    # that can dump text counts can seed the build
     skip_existing: bool = False   # artifact-gated resume (reference
     # pipeline gates each stage on its outputs,
     # /root/reference/scripts/compute_aindex.py:185-228)
@@ -140,6 +145,32 @@ def save_dat(keys: np.ndarray, counts: np.ndarray, k: int, path: str) -> None:
             f.write("".join(f"{km}\t{int(tf)}\n" for km, tf in zip(kmers, tfs)))
 
 
+def load_dat(path: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a text spectrum ('kmer\\tcount' per line, any order) into
+    (codes, counts) — the input side of the external-counter option.
+    Counts for duplicate canonical forms are merged; non-ACGT rows raise."""
+    kmers: list[str] = []
+    counts: list[int] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            kmers.append(parts[0])
+            counts.append(int(parts[1]) if len(parts) > 1 else 0)
+    if not kmers:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    codes, valid = codec.encode_kmers(kmers, k)
+    if not valid.all():
+        bad = [km for km, v in zip(kmers, valid) if not v][:3]
+        raise ValueError(f"{path}: non-ACGT k-mers (e.g. {bad})")
+    canon = codec.canonical_code(codes, k)
+    keys, inv = np.unique(canon, return_inverse=True)
+    merged = np.zeros(keys.size, dtype=np.uint64)
+    np.add.at(merged, inv, np.asarray(counts, dtype=np.uint64))
+    return keys, merged
+
+
 def _phase_progress(cfg: BuildConfig, total: int, label: str):
     from aindex_tpu.pipeline.progress import make_progress
     return make_progress(total, label, cfg.progress)
@@ -182,12 +213,17 @@ def build_sparse(store: ReadsStore, cfg: BuildConfig) -> Sparse23Index:
             return index
         except ValueError as e:  # inconsistent artifacts: rebuild
             logger.warning("build_sparse: stale artifacts (%s); rebuilding", e)
-    prog = _phase_progress(cfg, store.reads_size, f"count {cfg.k}-mers")
-    keys, counts = count_canonical_kmers(
-        store.blob, cfg.k, cfg.chunk, mesh=cfg.resolve_mesh(),
-        on_progress=prog.step if prog else None)
-    if prog:
-        prog.close()
+    if cfg.dat_path:
+        keys, counts = load_dat(cfg.dat_path, cfg.k)
+        logger.info("build_sparse: spectrum from external counter %s "
+                    "(%d keys)", cfg.dat_path, len(keys))
+    else:
+        prog = _phase_progress(cfg, store.reads_size, f"count {cfg.k}-mers")
+        keys, counts = count_canonical_kmers(
+            store.blob, cfg.k, cfg.chunk, mesh=cfg.resolve_mesh(),
+            on_progress=prog.step if prog else None)
+        if prog:
+            prog.close()
     if cfg.min_tf > 1:
         keep = counts >= cfg.min_tf
         keys, counts = keys[keep], counts[keep]

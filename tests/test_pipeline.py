@@ -106,6 +106,39 @@ class TestMultiFileInputs:
                       read_type="fastq")
 
 
+class TestExternalCounter:
+    def test_dat_seeded_build_matches_counted_build(self, reads, tmp_path):
+        """--dat seeds the sparse build from ANY external counter's text
+        spectrum (the reference's jellyfish option,
+        /root/reference/scripts/compute_aindex.py:109-187) — artifacts
+        must equal the internally-counted build's."""
+        fa = tmp_path / "in.fa"
+        fa.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+        counted = BuildConfig(prefix=str(tmp_path / "c.23"), k=23,
+                              keep_dat=True)
+        build_all([str(fa)], counted)
+        seeded = BuildConfig(prefix=str(tmp_path / "d.23"), k=23,
+                             dat_path=str(tmp_path / "c.23.dat"))
+        build_all([str(fa)], seeded)
+        for sfx in (".pf", ".tf.bin", ".kmers.bin", ".index.bin",
+                    ".indices.bin"):
+            assert (tmp_path / ("d.23" + sfx)).read_bytes() == \
+                (tmp_path / ("c.23" + sfx)).read_bytes(), sfx
+
+    def test_load_dat_merges_and_validates(self, tmp_path):
+        from aindex_tpu.pipeline.build import load_dat
+        from aindex_tpu.core import codec
+        km = "ACGTACGTACGTACGTACGTACG"
+        rc = codec.revcomp(km)
+        p = tmp_path / "x.dat"
+        p.write_text(f"{km}\t3\n{rc}\t4\n\n")
+        keys, counts = load_dat(str(p), 23)
+        assert keys.size == 1 and counts[0] == 7  # canonical merge
+        p.write_text("ACGTNCGTACGTACGTACGTACG\t1\n")
+        with pytest.raises(ValueError, match="non-ACGT"):
+            load_dat(str(p), 23)
+
+
 class TestResume:
     def test_skip_existing_is_noop(self, fasta, tmp_path, caplog):
         prefix = str(tmp_path / "r.23")
