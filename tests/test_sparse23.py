@@ -102,6 +102,43 @@ class TestSpectrum:
         np.testing.assert_array_equal(vh, np.asarray(vd)[0])
         np.testing.assert_array_equal(ch[vh], np.asarray(cd)[0][vh])
 
+    def test_pair_sort_formulation_matches_scatter(self, monkeypatch, rng):
+        """The scatter-free TPU formulation (two pair-sorts + scans) must
+        be bit-identical to the CPU scatter formulation — forced here by
+        monkeypatching the backend predicate and clearing the trace
+        cache."""
+        import jax.numpy as jnp
+        from aindex_tpu.kernels import spectrum as S
+        n = 1 << 12
+        keys = rng.integers(0, 1 << 46, size=n).astype(np.uint64)
+        keys[rng.integers(0, n, size=n // 2)] = \
+            keys[rng.integers(0, n, size=n // 2)]
+        keys[:50] = S.SENTINEL
+        w = rng.integers(1, 100, size=n).astype(np.uint64)
+        w[:50] = 0
+        ref = tuple(np.asarray(x) for x in S.sorted_spectrum(jnp.asarray(keys)))
+        ref_w = tuple(np.asarray(x)
+                      for x in S.sorted_spectrum_weighted(jnp.asarray(keys),
+                                                          jnp.asarray(w)))
+        monkeypatch.setattr(S, "_prefer_pair_sort", lambda: True)
+        S.sorted_spectrum._clear_cache()
+        S.sorted_spectrum_weighted._clear_cache()
+        try:
+            got = tuple(np.asarray(x)
+                        for x in S.sorted_spectrum(jnp.asarray(keys)))
+            got_w = tuple(np.asarray(x)
+                          for x in S.sorted_spectrum_weighted(
+                              jnp.asarray(keys), jnp.asarray(w)))
+        finally:
+            monkeypatch.undo()
+            S.sorted_spectrum._clear_cache()
+            S.sorted_spectrum_weighted._clear_cache()
+        for a, b in ((ref, got), (ref_w, got_w)):
+            nu = int(a[2])
+            assert int(b[2]) == nu
+            np.testing.assert_array_equal(a[0][:nu], b[0][:nu])
+            np.testing.assert_array_equal(a[1][:nu], b[1][:nu])
+
     def test_sorted_spectrum_counts(self):
         from aindex_tpu.kernels.spectrum import SENTINEL, sorted_spectrum
         import jax.numpy as jnp
