@@ -36,7 +36,13 @@ _C2 = np.uint64(0x165667B19E3779F9)
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """numpy twin of aindex_tpu.kernels.lookup.mix64 (must stay bit-identical)."""
-    x = x.copy()
+    return _mix64_tmp(x.copy())
+
+
+def _mix64_tmp(x: np.ndarray) -> np.ndarray:
+    """_mix64 on a freshly-allocated temporary: mutates ``x`` in place —
+    callers must pass an array they own (saves one 8-byte-per-key copy per
+    hash, ~40% of the batched lookup's time)."""
     x ^= x >> np.uint64(33)
     x *= _M1
     x ^= x >> np.uint64(33)
@@ -48,10 +54,10 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def hash_triple_np(keys: np.ndarray, seed: int, domain: int):
     """Three node ids per key, one in each third of [0, 3*domain)."""
     d = np.uint64(domain)
-    h = _mix64(keys ^ np.uint64(seed))
+    h = _mix64_tmp(keys ^ np.uint64(seed))   # ^ allocates; safe to mutate
     h0 = h % d
-    h1 = _mix64(h ^ _C1) % d + d
-    h2 = _mix64(h + _C2) % d + np.uint64(2) * d
+    h1 = _mix64_tmp(h ^ _C1) % d + d
+    h2 = _mix64_tmp(h + _C2) % d + np.uint64(2) * d
     return h0, h1, h2
 
 
@@ -117,10 +123,24 @@ class MPHF:
         use the same hash triple, so the resulting MPHF is loadable either
         way.
         """
+        return cls.build_with_slots(keys, max_trials, rng_seed, use_native)[0]
+
+    @classmethod
+    def build_with_slots(cls, keys: np.ndarray, max_trials: int = 64,
+                         rng_seed: int = 37, use_native: bool | None = None
+                         ) -> tuple["MPHF", np.ndarray]:
+        """``build`` plus the slot id of every input key, for free.
+
+        The peel already determines each key's owner node (its peel-time
+        free node), so the per-key slots come out of construction without
+        a second lookup pass — from_spectrum fills its slot-ordered tables
+        directly (the lookup pass it replaces cost as much as the build).
+        """
         keys = np.asarray(keys, dtype=np.uint64)
         n = len(keys)
         if n == 0:
-            return cls(0, 1, 0, np.full(1, 0xFFFFFFFF, np.uint32), np.zeros(3, np.int32))
+            return (cls(0, 1, 0, np.full(1, 0xFFFFFFFF, np.uint32),
+                        np.zeros(3, np.int32)), np.zeros(0, np.int32))
         if len(np.unique(keys)) != n:
             raise ValueError("MPHF keys must be distinct")
         if use_native is None or use_native:
@@ -135,12 +155,13 @@ class MPHF:
         for _ in range(max_trials):
             seed = int(rng.integers(0, 2**63, dtype=np.int64))
             if native_ok:
-                g = native_mod.mphf_try_build(keys, seed, domain)
-                result = None if g is None else cls._from_g(n, domain, seed, g)
+                out = native_mod.mphf_try_build(keys, seed, domain)
             else:
-                result = cls._try_build(keys, n, domain, seed)
-            if result is not None:
-                return result
+                out = cls._try_build(keys, n, domain, seed)
+            if out is not None:
+                g, owner = out
+                mphf = cls._from_g(n, domain, seed, g)
+                return mphf, mphf.slots[owner]
             domain = int(domain * 1.05) + 1  # grow slightly on failure
         raise RuntimeError(f"MPHF peeling failed after {max_trials} trials (n={n})")
 
@@ -208,11 +229,13 @@ class MPHF:
 
         # Reverse-order assignment, one vectorised pass per round.
         g = np.full(n_nodes, 3, dtype=np.uint8)
+        owner = np.empty(n, dtype=np.int64)
         for edges, free_nodes in zip(reversed(peel_edges), reversed(peel_free)):
             nodes3 = edge_nodes[edges]  # (m, 3)
+            owner[edges] = free_nodes
             j = np.argmax(nodes3 == free_nodes[:, None], axis=1)
             vsum = g[nodes3[:, 0]].astype(np.int64) + g[nodes3[:, 1]] + g[nodes3[:, 2]]
             v_free = g[free_nodes].astype(np.int64)  # currently 3
             g[free_nodes] = ((j - (vsum - v_free)) % 3).astype(np.uint8)
 
-        return cls._from_g(n, domain, seed, g)
+        return g, owner

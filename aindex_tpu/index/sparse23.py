@@ -328,13 +328,14 @@ class Sparse23Index:
     def from_spectrum(cls, keys: np.ndarray, counts: np.ndarray, k: int = K23
                       ) -> "Sparse23Index":
         """Build MPHF + slot-ordered arrays from a (key, count) spectrum —
-        the analogue of index_hash_pp (/root/reference/src/hash.cpp:779-881)."""
-        mphf = MPHF.build(keys.astype(np.uint64))
+        the analogue of index_hash_pp (/root/reference/src/hash.cpp:779-881).
+        The per-key slots come out of the peel itself (build_with_slots),
+        so no lookup pass over the key set is needed."""
+        mphf, slot = MPHF.build_with_slots(keys.astype(np.uint64))
         n = mphf.n
         checker = np.zeros(n, dtype=np.uint64)
         tf = np.zeros(n, dtype=np.uint32)
         if n:
-            slot = mphf.lookup(keys)
             checker[slot] = keys
             tf[slot] = np.minimum(counts, np.iinfo(np.uint32).max).astype(np.uint32)
         return cls(mphf, checker, tf, k)

@@ -30,7 +30,8 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.mphf_try_build.restype = ctypes.c_int32
     lib.mphf_try_build.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_uint64,
-        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64)]
     lib.jenkins_triple_codes.restype = None
     lib.jenkins_triple_codes.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int32,
@@ -63,6 +64,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.encode_kmers_2bit.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8)]
+    lib.host_spectrum_ascii.restype = ctypes.c_int64
+    lib.host_spectrum_ascii.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
     lib.sparse_query_ascii.restype = ctypes.c_int64
     lib.sparse_query_ascii.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
@@ -129,19 +134,24 @@ def available() -> bool:
 # wrappers
 # ---------------------------------------------------------------------------
 
-def mphf_try_build(keys: np.ndarray, seed: int, domain: int) -> np.ndarray | None:
-    """One seed trial of hypergraph peeling. Returns g (uint8[3*domain],
-    value 3 = unassigned) or None if the trial failed to peel."""
+def mphf_try_build(keys: np.ndarray, seed: int, domain: int
+                   ) -> tuple[np.ndarray, np.ndarray] | None:
+    """One seed trial of hypergraph peeling. Returns (g, owner) — g
+    uint8[3*domain] with 3 = unassigned, owner int64[n] = the node owning
+    each key (rank(owner) is the key's slot) — or None if the trial failed
+    to peel."""
     lib = get_lib()
     assert lib is not None
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     g = np.empty(3 * domain, dtype=np.uint8)
+    owner = np.empty(len(keys), dtype=np.int64)
     ok = lib.mphf_try_build(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.c_int64(len(keys)), ctypes.c_uint64(seed),
         ctypes.c_uint64(domain),
-        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    return g if ok else None
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        owner.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return (g, owner) if ok else None
 
 
 def jenkins_triple_codes(codes: np.ndarray, k: int, seed: int
@@ -298,3 +308,25 @@ def sparse_query_ascii(raw: np.ndarray | bytes, n: int, k: int,
         slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return tf, slot, strand
+
+
+def host_spectrum_ascii(chunk: np.ndarray, k: int
+                        ) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted unique canonical codes, counts) of an ASCII chunk in one C
+    pass chain (rolling encode + radix sort + run-length); None when the
+    native library is unavailable or k unsupported."""
+    lib = get_lib()
+    if lib is None or not (1 <= k <= 31):
+        return None
+    chunk = np.ascontiguousarray(chunk, dtype=np.uint8)
+    cap = max(chunk.size - k + 1, 1)
+    keys = np.empty(cap, np.uint64)
+    counts = np.empty(cap, np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    n_u = lib.host_spectrum_ascii(
+        chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(chunk.size), ctypes.c_int32(k),
+        keys.ctypes.data_as(p64), counts.ctypes.data_as(p64))
+    if n_u < 0:
+        return None
+    return keys[:n_u].copy(), counts[:n_u].copy()

@@ -47,51 +47,63 @@ static const uint64_t C2 = 0x165667B19E3779F9ULL;
 
 // Attempt one seed trial of the 3-partite hypergraph peeling.
 //
-// keys:   n distinct uint64 keys
-// domain: nodes per partition (3*domain nodes total)
-// g_out:  uint8[3*domain]; on success holds g-values (3 = unassigned)
+// keys:      n distinct uint64 keys
+// domain:    nodes per partition (3*domain nodes total)
+// g_out:     uint8[3*domain]; on success holds g-values (3 = unassigned)
+// owner_out: int64[n]; on success, owner_out[i] = the node that owns key i
+//            (its peel-time free node) — rank(owner) over assigned nodes is
+//            the key's slot, so callers can fill slot-ordered tables
+//            without a second lookup pass over every key.
 // returns 1 on success (fully peelable), 0 on failure.
 int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
-                       uint64_t domain, uint8_t* g_out) {
-  const int64_t n_nodes = 3 * (int64_t)domain;
+                       uint64_t domain, uint8_t* g_out, int64_t* owner_out) {
+  const uint64_t n_nodes = 3 * domain;
+  if (n_nodes >= (1ULL << 32) || (uint64_t)n >= (1ULL << 32)) return 0;
 
-  std::vector<uint32_t> deg(n_nodes, 0);
-  std::vector<int64_t> xor_edge(n_nodes, 0);
-  std::vector<int64_t> enodes(3 * (size_t)n);
-
-  for (int64_t e = 0; e < n; ++e) {
+  // Cache-tight adjacency: ONE uint64 per node packing (degree << 32 |
+  // xor-of-edge-ids) — a node touch is one 8-byte random access instead
+  // of two, and edge node ids are recomputed from the key hash (3 mix64,
+  // ~register work) instead of stored (24 B/edge of cache traffic).
+  std::vector<uint64_t> adj(n_nodes, 0);
+  auto nodes_of = [&](int64_t e, uint32_t nv[3]) {
     uint64_t h = mix64(keys[e] ^ seed);
-    uint64_t h0 = h % domain;
-    uint64_t h1 = mix64(h ^ C1) % domain + domain;
-    uint64_t h2 = mix64(h + C2) % domain + 2 * domain;
-    enodes[3 * e] = (int64_t)h0;
-    enodes[3 * e + 1] = (int64_t)h1;
-    enodes[3 * e + 2] = (int64_t)h2;
-    deg[h0]++; deg[h1]++; deg[h2]++;
-    xor_edge[h0] ^= e; xor_edge[h1] ^= e; xor_edge[h2] ^= e;
+    nv[0] = (uint32_t)(h % domain);
+    nv[1] = (uint32_t)(mix64(h ^ C1) % domain + domain);
+    nv[2] = (uint32_t)(mix64(h + C2) % domain + 2 * domain);
+  };
+  const uint64_t ONE_DEG = 1ULL << 32;
+  for (int64_t e = 0; e < n; ++e) {
+    uint32_t nv[3];
+    nodes_of(e, nv);
+    adj[nv[0]] += ONE_DEG; adj[nv[0]] ^= (uint64_t)e;
+    adj[nv[1]] += ONE_DEG; adj[nv[1]] ^= (uint64_t)e;
+    adj[nv[2]] += ONE_DEG; adj[nv[2]] ^= (uint64_t)e;
   }
 
   // Peel: stack of degree-1 nodes; record (edge, free_node) order.
-  std::vector<int64_t> stack;
+  std::vector<uint32_t> stack;
   stack.reserve(n_nodes / 2);
-  for (int64_t v = 0; v < n_nodes; ++v)
-    if (deg[v] == 1) stack.push_back(v);
+  for (uint64_t v = 0; v < n_nodes; ++v)
+    if ((adj[v] >> 32) == 1) stack.push_back((uint32_t)v);
 
-  std::vector<int64_t> peel_edge(n), peel_node(n);
+  std::vector<uint32_t> peel_edge(n), peel_node(n);
   int64_t n_peeled = 0;
   while (!stack.empty()) {
-    int64_t v = stack.back();
+    uint32_t v = stack.back();
     stack.pop_back();
-    if (deg[v] != 1) continue;  // stale entry
-    int64_t e = xor_edge[v];
+    if ((adj[v] >> 32) != 1) continue;  // stale entry
+    uint32_t e = (uint32_t)adj[v];
     peel_edge[n_peeled] = e;
     peel_node[n_peeled] = v;
+    owner_out[e] = (int64_t)v;  // the free node is the edge's owner
     ++n_peeled;
+    uint32_t nv[3];
+    nodes_of(e, nv);
     for (int j = 0; j < 3; ++j) {
-      int64_t u = enodes[3 * e + j];
-      deg[u]--;
-      xor_edge[u] ^= e;
-      if (deg[u] == 1) stack.push_back(u);
+      uint64_t a = adj[nv[j]] - ONE_DEG;
+      a ^= (uint64_t)e;
+      adj[nv[j]] = a;
+      if ((a >> 32) == 1) stack.push_back(nv[j]);
     }
   }
   if (n_peeled != n) return 0;
@@ -100,12 +112,14 @@ int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
   // g so that (g[v0]+g[v1]+g[v2]) % 3 == index-of-free-node-in-edge.
   memset(g_out, 3, (size_t)n_nodes);
   for (int64_t i = n - 1; i >= 0; --i) {
-    int64_t e = peel_edge[i];
-    int64_t v = peel_node[i];
+    uint32_t e = peel_edge[i];
+    uint32_t v = peel_node[i];
+    uint32_t nv[3];
+    nodes_of(e, nv);
     int64_t sum = 0;
     int32_t j = 0;
     for (int t = 0; t < 3; ++t) {
-      int64_t u = enodes[3 * e + t];
+      uint32_t u = nv[t];
       if (u == v) j = t;
       else if (g_out[u] != 3) sum += g_out[u];
     }
@@ -544,6 +558,69 @@ static inline uint64_t revcomp_code(uint64_t x, int32_t k) {
   x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
   x = (x >> 32) | (x << 32);
   return x >> (64 - 2 * k);
+}
+
+// Host spectrum engine: ASCII chunk -> sorted unique canonical k-mer
+// codes + counts, entirely in one C pass chain (the zero-link-traffic
+// counting path for slow device links, kernels/spectrum.py
+// host_chunk_spectrum). Rolling 2-bit encode with incremental reverse
+// complement, LSD radix sort (8-bit digits over ceil(2k/8) passes), then
+// run-length reduction. keys_out/counts_out must hold n-k+1 entries.
+// Returns n_unique (0 if no valid window), or -1 for unsupported k.
+int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
+                            uint64_t* keys_out, uint64_t* counts_out) {
+  if (k < 1 || k > 31 || n < k) return k >= 1 && k <= 31 ? 0 : -1;
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int32_t rc_shift = 2 * (k - 1);
+  std::vector<uint64_t> buf((size_t)(n - k + 1));
+  int64_t m = 0;
+  uint64_t code = 0, rc = 0;
+  int32_t run = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t c = ascii[i];
+    uint8_t up = c & 0xDF;
+    if (up == 'A' || up == 'C' || up == 'G' || up == 'T') {
+      uint8_t x = (c >> 1) & 3;
+      uint8_t b = (uint8_t)(x ^ (x >> 1));
+      code = ((code << 2) | b) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+      if (++run >= k) buf[m++] = code < rc ? code : rc;
+    } else {
+      run = 0;
+    }
+  }
+  if (m == 0) return 0;
+  // LSD radix with 16-bit digits (3 passes for 46-bit canonical codes):
+  // fewer full-array passes beats smaller count tables on the memory-
+  // bound hosts this engine targets; the 64K-entry histogram stays in L2
+  std::vector<uint64_t> tmp((size_t)m);
+  std::vector<int64_t> count(65537);
+  uint64_t* a = buf.data();
+  uint64_t* b = tmp.data();
+  const int passes = (2 * k + 15) / 16;
+  for (int p = 0; p < passes; ++p) {
+    std::fill(count.begin(), count.end(), 0);
+    const int shift = 16 * p;
+    for (int64_t i = 0; i < m; ++i) count[((a[i] >> shift) & 0xFFFF) + 1]++;
+    for (int d = 0; d < 65536; ++d) count[d + 1] += count[d];
+    for (int64_t i = 0; i < m; ++i)
+      b[count[(a[i] >> shift) & 0xFFFF]++] = a[i];
+    uint64_t* t = a; a = b; b = t;
+  }
+  // run-length reduce the sorted codes
+  int64_t u = 0;
+  uint64_t cur = a[0];
+  uint64_t cnt = 1;
+  for (int64_t i = 1; i < m; ++i) {
+    if (a[i] == cur) {
+      ++cnt;
+    } else {
+      keys_out[u] = cur; counts_out[u] = cnt; ++u;
+      cur = a[i]; cnt = 1;
+    }
+  }
+  keys_out[u] = cur; counts_out[u] = cnt; ++u;
+  return u;
 }
 
 // Fused sparse-index ASCII batch query: encode + canonicalise + verified
