@@ -242,6 +242,25 @@ class AIndex:
         self.sparse23 = Sparse23Index.load(prefix)
         self._loaded = True
 
+    def load_hash(self, hash_file: str, tf_file: str, kmers_bin_file: str,
+                  kmers_text_file: str = "") -> None:
+        """Load the sparse index from explicit artifact paths
+        (aindex/core/aindex.py:63-100 ``load_hash``; the kmers_text file is
+        validated-if-given but unused, exactly as there)."""
+        for name, p in (("hash", hash_file), ("tf", tf_file),
+                        ("kmers_bin", kmers_bin_file)):
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"{name} file not found: {p}")
+        if kmers_text_file and not os.path.exists(kmers_text_file):
+            raise FileNotFoundError(
+                f"kmers_text file not found: {kmers_text_file}")
+        self.sparse23 = Sparse23Index.load_files(hash_file, tf_file,
+                                                 kmers_bin_file)
+        self._loaded = True
+
+    #: alias kept for reference parity (aindex/core/aindex.py:81)
+    load_hash_file = load_hash
+
     def load_13mer_aindex(self, index_file: str, indices_file: str) -> None:
         for name, p in (("index", index_file), ("indices", indices_file)):
             if not os.path.exists(p):

@@ -133,6 +133,25 @@ class TestLoadFromPrefix:
         with pytest.raises(FileNotFoundError):
             AIndex.load_from_prefix(str(tmp_path / "nope"))
 
+    def test_load_hash_explicit_paths(self, idx23, tmp_path, reads):
+        """load_hash / load_hash_file (aindex/core/aindex.py:63-100):
+        explicit artifact paths, kmers_text validated-if-given, unused."""
+        prefix = str(tmp_path / "h.23")
+        idx23.sparse23.save(prefix)
+        again = AIndex()
+        again.load_hash(prefix + ".pf", prefix + ".tf.bin",
+                        prefix + ".kmers.bin")
+        km = reads[0][:23]
+        assert again[km] == idx23[km]
+        with pytest.raises(FileNotFoundError):
+            AIndex().load_hash(prefix + ".pf", prefix + ".tf.bin",
+                               prefix + ".kmers.bin",
+                               str(tmp_path / "missing.txt"))
+        with pytest.raises(FileNotFoundError):
+            AIndex().load_hash_file(str(tmp_path / "no.pf"),
+                                    prefix + ".tf.bin",
+                                    prefix + ".kmers.bin")
+
 
 class TestHelpers:
     def test_get_revcomp(self):
