@@ -67,12 +67,14 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.host_spectrum_ascii.restype = ctypes.c_int64
     lib.host_spectrum_ascii.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64)]
     lib.sparse_query_ascii.restype = ctypes.c_int64
     lib.sparse_query_ascii.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
-        ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
 
 
@@ -94,7 +96,7 @@ def ensure_built(force: bool = False) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
-             "-shared", "-o", _SO_PATH, src],
+             "-pthread", "-shared", "-o", _SO_PATH, src],
             check=True, capture_output=True, timeout=300)
         _load_failed = False
         return True
@@ -303,18 +305,32 @@ def sparse_query_ascii(raw: np.ndarray | bytes, n: int, k: int,
         ctypes.c_int32(1 if canonical_keys else 0),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_uint64(m), ctypes.c_uint64(int(seed1)),
-        ctypes.c_uint64(int(seed2)),
+        ctypes.c_uint64(int(seed2)), ctypes.c_int32(native_threads()),
         tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return tf, slot, strand
 
 
+def native_threads() -> int:
+    """Worker count for threaded native paths: AINDEX_TPU_NATIVE_THREADS,
+    else every core (the reference counters also default to
+    hardware_concurrency)."""
+    env = os.environ.get("AINDEX_TPU_NATIVE_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 1
+
+
 def host_spectrum_ascii(chunk: np.ndarray, k: int
                         ) -> tuple[np.ndarray, np.ndarray] | None:
     """(sorted unique canonical codes, counts) of an ASCII chunk in one C
-    pass chain (rolling encode + radix sort + run-length); None when the
-    native library is unavailable or k unsupported."""
+    pass chain (rolling encode + radix sort + run-length; threaded over
+    byte ranges like the reference counters); None when the native
+    library is unavailable or k unsupported."""
     lib = get_lib()
     if lib is None or not (1 <= k <= 31):
         return None
@@ -326,6 +342,7 @@ def host_spectrum_ascii(chunk: np.ndarray, k: int
     n_u = lib.host_spectrum_ascii(
         chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(chunk.size), ctypes.c_int32(k),
+        ctypes.c_int32(native_threads()),
         keys.ctypes.data_as(p64), counts.ctypes.data_as(p64))
     if n_u < 0:
         return None

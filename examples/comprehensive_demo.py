@@ -63,9 +63,23 @@ def main():
     print(f"rid2poses = {idx23.get_rid2poses(km23)}")
     print(f"reads containing it: {len(idx23.get_reads_by_kmer(km23))}")
 
+    section("codes-in device queries (the full-rate TPU path)")
+    from aindex_tpu.core import codec
+    codes13, _ = codec.encode_kmers([r[:13] for r in reads[:32]], 13)
+    dev_tf = idx13.get_total_tf_values_codes_13mer(codes13)  # device array
+    print(f"device total-tf[:6] = {np.asarray(dev_tf)[:6].tolist()}")
+    codes23, _ = codec.encode_kmers(batch, 23)
+    dev23 = idx23.get_tf_values_codes_23mer(codes23)
+    same_as_ascii = (np.asarray(dev23) == np.asarray(tf)).all()
+    print(f"codes-in == ASCII-in: {same_as_ascii}")
+    assert same_as_ascii
+
     section("De Bruijn continuation")
     print(f"next = {idx23.debruijn_next(km23)}")
     print(f"prev = {idx23.debruijn_prev(km23)}")
+    info = idx23.debruijn_next_info(km23)
+    print(f"next CONT: best_hit={info['best_hit']} "
+          f"tf={info['best_hit_tf']} n={info['n']} sum={info['sum']}")
 
     section("frequency iteration / stats")
     top = idx23.get_top_kmers(3)

@@ -23,6 +23,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -561,22 +562,27 @@ static inline uint64_t revcomp_code(uint64_t x, int32_t k) {
 }
 
 // Host spectrum engine: ASCII chunk -> sorted unique canonical k-mer
-// codes + counts, entirely in one C pass chain (the zero-link-traffic
-// counting path for slow device links, kernels/spectrum.py
-// host_chunk_spectrum). Rolling 2-bit encode with incremental reverse
-// complement, LSD radix sort (8-bit digits over ceil(2k/8) passes), then
-// run-length reduction. keys_out/counts_out must hold n-k+1 entries.
-// Returns n_unique (0 if no valid window), or -1 for unsupported k.
-int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
-                            uint64_t* keys_out, uint64_t* counts_out) {
-  if (k < 1 || k > 31 || n < k) return k >= 1 && k <= 31 ? 0 : -1;
-  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+// codes + counts, entirely on the host (the zero-link-traffic counting
+// path for slow device links, kernels/spectrum.py host_chunk_spectrum).
+// Rolling 2-bit encode with incremental reverse complement, LSD radix
+// sort (16-bit digits), then run-length reduction. Threaded like the
+// reference counters (/root/reference/src/count_kmers.cpp byte-range
+// workers): each thread encodes + sorts its own byte range (k-1 overlap,
+// windows attributed to the range their start falls in), one final pass
+// T-way-merges the sorted runs straight into the output.
+// keys_out/counts_out must hold n-k+1 entries. Returns n_unique, or -1
+// for unsupported k.
+
+static void spectrum_encode_range(const uint8_t* ascii, int64_t lo,
+                                  int64_t hi, int64_t n, int32_t k,
+                                  std::vector<uint64_t>& out) {
+  const uint64_t mask = (1ULL << (2 * k)) - 1;
   const int32_t rc_shift = 2 * (k - 1);
-  std::vector<uint64_t> buf((size_t)(n - k + 1));
-  int64_t m = 0;
+  const int64_t stop = hi + k - 1 < n ? hi + k - 1 : n;
+  out.reserve((size_t)(hi - lo));
   uint64_t code = 0, rc = 0;
   int32_t run = 0;
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = lo; i < stop; ++i) {
     uint8_t c = ascii[i];
     uint8_t up = c & 0xDF;
     if (up == 'A' || up == 'C' || up == 'G' || up == 'T') {
@@ -584,18 +590,20 @@ int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
       uint8_t b = (uint8_t)(x ^ (x >> 1));
       code = ((code << 2) | b) & mask;
       rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
-      if (++run >= k) buf[m++] = code < rc ? code : rc;
+      if (++run >= k && i - k + 1 < hi)
+        out.push_back(code < rc ? code : rc);
     } else {
       run = 0;
     }
   }
-  if (m == 0) return 0;
-  // LSD radix with 16-bit digits (3 passes for 46-bit canonical codes):
-  // fewer full-array passes beats smaller count tables on the memory-
-  // bound hosts this engine targets; the 64K-entry histogram stays in L2
+}
+
+static void spectrum_radix_sort(std::vector<uint64_t>& v, int32_t k) {
+  const int64_t m = (int64_t)v.size();
+  if (m <= 1) return;
   std::vector<uint64_t> tmp((size_t)m);
   std::vector<int64_t> count(65537);
-  uint64_t* a = buf.data();
+  uint64_t* a = v.data();
   uint64_t* b = tmp.data();
   const int passes = (2 * k + 15) / 16;
   for (int p = 0; p < passes; ++p) {
@@ -607,19 +615,61 @@ int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
       b[count[(a[i] >> shift) & 0xFFFF]++] = a[i];
     uint64_t* t = a; a = b; b = t;
   }
-  // run-length reduce the sorted codes
+  if (a != v.data()) v.swap(tmp);  // odd pass count ends in tmp
+}
+
+int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
+                            int32_t nthreads, uint64_t* keys_out,
+                            uint64_t* counts_out) {
+  if (k < 1 || k > 31) return -1;
+  if (n < k) return 0;
+  int T = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  const int64_t n_starts = n - k + 1;
+  if (n_starts < 4 * 65536) T = 1;  // threading overhead not worth it
+  if ((int64_t)T > n_starts) T = 1;
+
+  std::vector<std::vector<uint64_t>> parts((size_t)T);
+  if (T == 1) {
+    spectrum_encode_range(ascii, 0, n_starts, n, k, parts[0]);
+    spectrum_radix_sort(parts[0], k);
+  } else {
+    std::vector<std::thread> threads;
+    const int64_t per = (n_starts + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int64_t lo = (int64_t)t * per;
+      int64_t hi = lo + per < n_starts ? lo + per : n_starts;
+      threads.emplace_back([&, t, lo, hi]() {
+        spectrum_encode_range(ascii, lo, hi, n, k, parts[t]);
+        spectrum_radix_sort(parts[t], k);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  // T-way merge of sorted runs + run-length reduce in one pass
+  std::vector<size_t> pos((size_t)T, 0);
   int64_t u = 0;
-  uint64_t cur = a[0];
-  uint64_t cnt = 1;
-  for (int64_t i = 1; i < m; ++i) {
-    if (a[i] == cur) {
+  uint64_t cur = 0, cnt = 0;
+  for (;;) {
+    int best = -1;
+    uint64_t best_v = 0;
+    for (int t = 0; t < T; ++t) {
+      if (pos[t] < parts[t].size()) {
+        uint64_t v = parts[t][pos[t]];
+        if (best < 0 || v < best_v) { best = t; best_v = v; }
+      }
+    }
+    if (best < 0) break;
+    pos[best]++;
+    if (cnt && best_v == cur) {
       ++cnt;
     } else {
-      keys_out[u] = cur; counts_out[u] = cnt; ++u;
-      cur = a[i]; cnt = 1;
+      if (cnt) { keys_out[u] = cur; counts_out[u] = cnt; ++u; }
+      cur = best_v; cnt = 1;
     }
   }
-  keys_out[u] = cur; counts_out[u] = cnt; ++u;
+  if (cnt) { keys_out[u] = cur; counts_out[u] = cnt; ++u; }
   return u;
 }
 
@@ -635,18 +685,19 @@ int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
 // canonical_keys != 0: probe min(code, rc), strand = 1 if code <= rc else 2.
 // canonical_keys == 0: probe forward then revcomp (reference get_freq rule,
 // /root/reference/src/hash.hpp:123-140).
-int64_t sparse_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
-                           int32_t canonical_keys, const uint32_t* table,
-                           uint64_t m, uint64_t seed1, uint64_t seed2,
-                           uint32_t* tf_out, int32_t* slot_out,
-                           int32_t* strand_out) {
+static void sparse_query_range(const uint8_t* raw, int64_t lo, int64_t n,
+                               int32_t k, int32_t canonical_keys,
+                               const uint32_t* table, uint64_t m,
+                               uint64_t seed1, uint64_t seed2,
+                               uint32_t* tf_out, int32_t* slot_out,
+                               int32_t* strand_out) {
   const uint64_t mask = m - 1;
   enum { BLOCK = 1024 };
   uint64_t key1[BLOCK], key2[BLOCK];   // probe keys (fwd or canonical; rc)
   uint64_t row[BLOCK];
   int64_t pend[BLOCK];                 // indices needing the second probe
 
-  for (int64_t b0 = 0; b0 < n; b0 += BLOCK) {
+  for (int64_t b0 = lo; b0 < n; b0 += BLOCK) {
     int64_t bn = n - b0 < BLOCK ? n - b0 : BLOCK;
     // stage 1: encode + canonicalise; issue first-row prefetches
     for (int64_t t = 0; t < bn; ++t) {
@@ -734,6 +785,35 @@ int64_t sparse_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
       nmiss = nm2;
     }
   }
+}
+
+// Threaded like the reference's batch loops would be if they were not
+// per-element pybind calls: each worker owns a contiguous slice of the
+// query batch (outputs are per-index, so no synchronisation).
+int64_t sparse_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
+                           int32_t canonical_keys, const uint32_t* table,
+                           uint64_t m, uint64_t seed1, uint64_t seed2,
+                           int32_t nthreads, uint32_t* tf_out,
+                           int32_t* slot_out, int32_t* strand_out) {
+  int T = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (n < 1 << 16) T = 1;  // threading overhead not worth it
+  if (T == 1) {
+    sparse_query_range(raw, 0, n, k, canonical_keys, table, m, seed1, seed2,
+                       tf_out, slot_out, strand_out);
+    return n;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (n + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t lo = (int64_t)t * per;
+    int64_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(sparse_query_range, raw, lo, hi, k, canonical_keys,
+                         table, m, seed1, seed2, tf_out, slot_out,
+                         strand_out);
+  }
+  for (auto& th : threads) th.join();
   return n;
 }
 

@@ -179,3 +179,46 @@ class TestGzipInputs:
         got = [bytes(a) for a in io_fastq.iter_sequence_bytes(gz)]
         want = [bytes(a) for a in io_fastq.iter_sequence_bytes(fa)]
         assert got == want
+
+
+class TestNativeThreading:
+    """Threaded native paths must be invariant in the worker count."""
+
+    def test_spectrum_thread_invariance(self, monkeypatch):
+        import numpy as np
+        from aindex_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(5)
+        chunk = np.frombuffer(b"ACGTN\n", np.uint8)[
+            rng.integers(0, 6, size=1 << 19)]
+        monkeypatch.setenv("AINDEX_TPU_NATIVE_THREADS", "1")
+        k1, c1 = native.host_spectrum_ascii(chunk, 23)
+        monkeypatch.setenv("AINDEX_TPU_NATIVE_THREADS", "3")
+        k3, c3 = native.host_spectrum_ascii(chunk, 23)
+        assert (k1 == k3).all() and (c1 == c3).all()
+
+    def test_query_thread_invariance(self, monkeypatch):
+        import numpy as np
+        from aindex_tpu import native
+        from aindex_tpu.core.reads import ReadsStore
+        from aindex_tpu.index.sparse23 import Sparse23Index
+        if not native.available():
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(6)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        reads = [bytes(bases[rng.integers(0, 4, size=80)]).decode()
+                 for _ in range(200)]
+        idx = Sparse23Index.build_from_blob(
+            ReadsStore.from_sequences(reads).blob)
+        qs = ([r[i:i + 23] for r in reads for i in (0, 30)] * 200)[:1 << 17]
+        raw = "".join(qs).encode()
+        monkeypatch.setenv("AINDEX_TPU_NATIVE_THREADS", "1")
+        a = tuple(np.asarray(x).copy()
+                  for x in idx._query_host_ascii(raw, len(qs)))
+        monkeypatch.setenv("AINDEX_TPU_NATIVE_THREADS", "3")
+        b = idx._query_host_ascii(raw, len(qs))
+        for x, y in zip(a, b):
+            assert (x == np.asarray(y)).all()
