@@ -319,6 +319,31 @@ class Dense13Index:
             self._tf_total_host = self._tf_host + self._tf_host[rc]
         return self._tf_host, self._tf_total_host
 
+    def _query_host_ascii(self, kmers: list[str], kind: str):
+        """Fused native host engine: raw ASCII batch -> tf in one C pass
+        (encode + prefetched table gather, threaded;
+        native.dense_query_ascii). None when the policy prefers the
+        device, the host tables are absent/uint64 (saturated counts keep
+        the exact numpy path), the batch is ragged, or native is missing
+        — caller falls back to encode + _host_query/device."""
+        from aindex_tpu import native
+        from aindex_tpu.core.hostdev import prefer_host_ascii_queries
+        tables = self._host_tables()
+        if tables is None or not prefer_host_ascii_queries() \
+                or not native.available():
+            return None
+        tf, tf_total = tables
+        if tf.dtype != np.uint32 or tf_total.dtype != np.uint32:
+            return None
+        raw = "".join(kmers).encode("ascii")
+        if len(raw) != len(kmers) * K13:
+            return None  # ragged batch
+        if kind == "total":
+            return native.dense_query_ascii(raw, len(kmers), K13, tf_total)
+        if kind == "fwd":
+            return native.dense_query_ascii(raw, len(kmers), K13, tf)
+        return native.dense_query_ascii(raw, len(kmers), K13, tf, both=True)
+
     def _host_query(self, kind: str, codes: np.ndarray, valid: np.ndarray):
         """Host gather mirror of the device query kernels; None if the host
         tables are absent or the policy prefers the device."""
@@ -348,6 +373,9 @@ class Dense13Index:
         ``dynamic_gather`` (take_along_axis form) — a general random-element
         gather cannot be expressed, and XLA's native gather already runs at
         ~120M lookups/s/chip on the fused table (BENCH)."""
+        fused = self._query_host_ascii(kmers, "fwd")
+        if fused is not None:
+            return fused
         codes, valid = self._encode(kmers)
         if isinstance(codes, np.ndarray):
             host = self._host_query("fwd", codes, valid)
@@ -364,6 +392,9 @@ class Dense13Index:
         """fwd + rc sum per k-mer (/root/reference/src/python_wrapper.cpp:522-543).
 
         One XLA gather against the fused tf_total table (see ``tf_total``)."""
+        fused = self._query_host_ascii(kmers, "total")
+        if fused is not None:
+            return fused
         codes, valid = self._encode(kmers)
         if isinstance(codes, np.ndarray):
             host = self._host_query("total", codes, valid)
@@ -373,6 +404,9 @@ class Dense13Index:
                                         jnp.asarray(valid)))
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        fused = self._query_host_ascii(kmers, "both")
+        if fused is not None:
+            return fused
         codes, valid = self._encode(kmers)
         if isinstance(codes, np.ndarray):
             host = self._host_query("both", codes, valid)

@@ -69,6 +69,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint64)]
+    lib.dense_query_ascii.restype = ctypes.c_int64
+    lib.dense_query_ascii.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
     lib.sparse_query_ascii.restype = ctypes.c_int64
     lib.sparse_query_ascii.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
@@ -347,3 +352,27 @@ def host_spectrum_ascii(chunk: np.ndarray, k: int
     if n_u < 0:
         return None
     return keys[:n_u].copy(), counts[:n_u].copy()
+
+
+def dense_query_ascii(raw: np.ndarray | bytes, n: int, k: int,
+                      table: np.ndarray, both: bool = False
+                      ) -> np.ndarray | tuple[np.ndarray, np.ndarray] | None:
+    """Fused dense host engine: ASCII k-mer batch -> uint32 tf per key via
+    one prefetched gather of the given host table (two for ``both``,
+    returning (fwd, rc)); threaded. None when unavailable."""
+    lib = get_lib()
+    if lib is None or table.dtype != np.uint32:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, bytes) \
+        else np.ascontiguousarray(raw, dtype=np.uint8)
+    table = np.ascontiguousarray(table)
+    out1 = np.empty(n, np.uint32)
+    out2 = np.empty(n, np.uint32) if both else out1
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.dense_query_ascii(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(k),
+        table.ctypes.data_as(p32), ctypes.c_int32(2 if both else 0),
+        ctypes.c_int32(native_threads()),
+        out1.ctypes.data_as(p32), out2.ctypes.data_as(p32))
+    return (out1, out2) if both else out1

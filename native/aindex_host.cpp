@@ -673,6 +673,64 @@ int64_t host_spectrum_ascii(const uint8_t* ascii, int64_t n, int32_t k,
   return u;
 }
 
+// Fused dense 13-mer ASCII batch query: encode + one prefetched table
+// gather per key (two for both-directions), threaded over batch slices —
+// the dense twin of sparse_query_ascii for the host engine
+// (Dense13Index._query_host_ascii). ``table`` is whichever uint32 host
+// table serves the call (tf for forward, the fused fwd+rc tf_total for
+// totals); mode 2 gathers tf[code] and tf[revcomp(code)] into out1/out2.
+
+static void dense_query_range(const uint8_t* raw, int64_t lo, int64_t hi,
+                              int32_t k, const uint32_t* table, int32_t mode,
+                              uint32_t* out1, uint32_t* out2) {
+  enum { BLOCK = 1024 };
+  uint64_t idx1[BLOCK], idx2[BLOCK];
+  uint8_t okb[BLOCK];
+  for (int64_t b0 = lo; b0 < hi; b0 += BLOCK) {
+    int64_t bn = hi - b0 < BLOCK ? hi - b0 : BLOCK;
+    for (int64_t t = 0; t < bn; ++t) {
+      uint8_t ok;
+      uint64_t code = encode_one_rt(raw + (size_t)(b0 + t) * k, k, &ok);
+      okb[t] = ok;
+      idx1[t] = code;
+      __builtin_prefetch(table + code, 0, 1);
+      if (mode == 2) {
+        uint64_t rc = revcomp_code(code, k);
+        idx2[t] = rc;
+        __builtin_prefetch(table + rc, 0, 1);
+      }
+    }
+    for (int64_t t = 0; t < bn; ++t) {
+      int64_t i = b0 + t;
+      out1[i] = okb[t] ? table[idx1[t]] : 0;
+      if (mode == 2) out2[i] = okb[t] ? table[idx2[t]] : 0;
+    }
+  }
+}
+
+int64_t dense_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
+                          const uint32_t* table, int32_t mode,
+                          int32_t nthreads, uint32_t* out1, uint32_t* out2) {
+  int T = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (n < 1 << 16) T = 1;
+  if (T == 1) {
+    dense_query_range(raw, 0, n, k, table, mode, out1, out2);
+    return n;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (n + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t lo = (int64_t)t * per;
+    int64_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(dense_query_range, raw, lo, hi, k, table, mode,
+                         out1, out2);
+  }
+  for (auto& th : threads) th.join();
+  return n;
+}
+
 // Fused sparse-index ASCII batch query: encode + canonicalise + verified
 // cuckoo probes + strand (the whole get_tf_values host hot path; mirrors
 // Sparse23Index._resolve_host exactly).
