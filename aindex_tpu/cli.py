@@ -197,6 +197,74 @@ def cmd_reads_to_fasta(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Standalone k-mer analysis report (the engine-backed equivalent of
+    the reference's analyze_kmers.py): canonical counts with every
+    occurrence's (read id, in-read position, direction), plus a summary.
+
+    Output line format matches the reference
+    (/root/reference/analyze_kmers.py:96-146):
+    ``kmer<TAB>count<TAB>rid,pos,dir ...`` sorted by count desc then
+    k-mer; ``<output>.summary`` carries the statistics block. Direction 0
+    = the window equals its canonical form, 1 = it is the reverse
+    complement."""
+    import numpy as np
+    from aindex_tpu.core import codec
+    from aindex_tpu.core.reads import ReadsStore
+    from aindex_tpu.io.fastq import read_sequences
+    from aindex_tpu.kernels.spectrum import host_window_codes
+
+    inputs = _split_inputs(args.input)
+    _check_distinct(inputs, [args.output, args.output + ".summary"])
+    k = args.kmer_size
+    seqs = []
+    for path in inputs:
+        seqs.extend(read_sequences(path))
+    store = ReadsStore.from_sequences(seqs)
+    codes, valid = host_window_codes(store.blob, k)
+    pos = np.flatnonzero(valid)
+    codes = codes[pos]
+    canon = codec.canonical_code(codes, k)
+    direction = (codes != canon).astype(np.int64)
+    rid = store.rid_by_pos(pos)
+    in_read = pos - store.starts[rid]
+
+    order = np.lexsort((pos, canon))
+    canon, pos, rid, in_read, direction = (a[order] for a in
+                                           (canon, pos, rid, in_read,
+                                            direction))
+    keys, starts, counts = np.unique(canon, return_index=True,
+                                     return_counts=True)
+    keep = counts >= args.min_count
+    keys, starts, counts = keys[keep], starts[keep], counts[keep]
+    # count desc, then k-mer ascending (code order == lexicographic)
+    rank = np.lexsort((keys, -counts.astype(np.int64)))
+    kmers = codec.decode_kmers(keys[rank], k)
+    with open(args.output, "w") as f:
+        for j, km in zip(rank, kmers):
+            s, c = int(starts[j]), int(counts[j])
+            occ = "\t".join(f"{rid[i]},{in_read[i]},{direction[i]}"
+                            for i in range(s, s + c))
+            f.write(f"{km}\t{c}\t{occ}\n")
+    total = int(counts.sum())
+    with open(args.output + ".summary", "w") as f:
+        f.write("=== K-mer Analysis Summary ===\n")
+        f.write(f"Input sequences: {len(seqs)}\n")
+        f.write(f"K-mer size: {k}\n")
+        f.write(f"Total k-mers: {total}\n")
+        f.write(f"Unique k-mers: {len(keys)}\n")
+        f.write(f"Singleton k-mers: {int((counts == 1).sum())}\n")
+        f.write(f"Max k-mer frequency: {int(counts.max()) if len(keys) else 0}\n")
+        if len(keys):
+            f.write(f"Average frequency: {total / len(keys):.2f}\n")
+            f.write(f"K-mer space coverage: "
+                    f"{100.0 * len(keys) / 4 ** k:.6f}%\n")
+    print(f"Analysis completed. Found {len(keys)} unique k-mers.")
+    print(f"Results saved to: {args.output}")
+    print(f"Summary saved to: {args.output}.summary")
+    return 0
+
+
 def cmd_info(args) -> int:
     from aindex_tpu.api import AIndex
     index = AIndex.load_from_prefix(args.prefix, load_aindex=True,
@@ -334,6 +402,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=lambda a: cmd_compute_aindex(argparse.Namespace(
         input=a.input, type=a.type, output=a.output, kmer_size=K13,
         min_count=a.min_count, no_aindex=False, keep_dat=False)))
+
+    p = sub.add_parser("analyze", help="standalone k-mer analysis report "
+                       "(counts + per-occurrence positions + summary)")
+    p.add_argument("-i", "--input", required=True,
+                   help="comma-separated FASTA/FASTQ/plain input files")
+    p.add_argument("-k", "--kmer-size", type=int, default=K23)
+    p.add_argument("-o", "--output", default="kmers_analysis.txt")
+    p.add_argument("--min-count", type=int, default=1)
+    p.set_defaults(func=cmd_analyze)
 
     p = sub.add_parser("reads-to-fasta", help=".reads -> FASTA")
     p.add_argument("-i", "--input", required=True)

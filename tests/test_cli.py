@@ -164,3 +164,46 @@ class TestMisc:
         assert run("compute-aindex-direct", "-i", f"{DATA}/test.fasta",
                    "-o", "dir13") == 0
         assert os.path.exists("dir13.index.bin")
+
+
+class TestAnalyze:
+    def test_analyze_matches_bruteforce(self, sandbox, capsys):
+        """`analyze` reproduces the reference analyze_kmers.py report
+        semantics (/root/reference/analyze_kmers.py:62-146): canonical
+        counts, per-occurrence (rid, in-read pos, direction), sort by
+        count desc then k-mer, plus the .summary block."""
+        from aindex_tpu.core.codec import revcomp
+        from aindex_tpu.io.fastq import read_sequences
+        assert run("analyze", "-i", f"{DATA}/test.fasta", "-k", "13",
+                   "-o", "an.txt") == 0
+        seqs = read_sequences(f"{DATA}/test.fasta")
+        want = {}
+        for rid, s in enumerate(seqs):
+            for i in range(len(s) - 12):
+                km = s[i:i + 13]
+                if set(km) <= set("ACGT"):
+                    canon = min(km, revcomp(km))
+                    want.setdefault(canon, []).append(
+                        (rid, i, 0 if km == canon else 1))
+        lines = [l.rstrip("\n").split("\t")
+                 for l in open("an.txt") if l.strip()]
+        assert len(lines) == len(want)
+        prev = None
+        for parts in lines:
+            km, cnt, occ = parts[0], int(parts[1]), parts[2:]
+            assert cnt == len(want[km])
+            got = [tuple(map(int, o.split(","))) for o in occ]
+            assert sorted(got) == sorted(want[km]), km
+            key = (-cnt, km)
+            assert prev is None or prev <= key  # count desc, kmer asc
+            prev = key
+        summary = open("an.txt.summary").read()
+        assert f"Unique k-mers: {len(want)}" in summary
+        assert f"Total k-mers: {sum(len(v) for v in want.values())}" in summary
+
+    def test_analyze_min_count(self, sandbox):
+        assert run("analyze", "-i", f"{DATA}/test.fasta", "-k", "13",
+                   "-o", "an2.txt", "--min-count", "2") == 0
+        for line in open("an2.txt"):
+            if line.strip():
+                assert int(line.split("\t")[1]) >= 2
