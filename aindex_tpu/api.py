@@ -475,7 +475,10 @@ class AIndex:
 
     def get_tf_values_codes_23mer(self, codes, valid=None):
         self._require(self.sparse23, "23-mer index")
-        return self.sparse23.get_tf_values_codes(codes, valid)
+        # same engine routing as the ASCII paths: a shard_to()'d index
+        # serves from the slot-sharded tables, never the unsharded copy
+        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        return engine.get_tf_values_codes(codes, valid)
 
     def get_reverse_complement_13mer(self, kmer: str) -> str:
         return codec.revcomp(kmer)

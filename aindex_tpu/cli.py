@@ -198,68 +198,20 @@ def cmd_reads_to_fasta(args) -> int:
 
 
 def cmd_analyze(args) -> int:
-    """Standalone k-mer analysis report (the engine-backed equivalent of
-    the reference's analyze_kmers.py): canonical counts with every
-    occurrence's (read id, in-read position, direction), plus a summary.
-
-    Output line format matches the reference
-    (/root/reference/analyze_kmers.py:96-146):
-    ``kmer<TAB>count<TAB>rid,pos,dir ...`` sorted by count desc then
-    k-mer; ``<output>.summary`` carries the statistics block. Direction 0
-    = the window equals its canonical form, 1 = it is the reverse
-    complement."""
-    import numpy as np
-    from aindex_tpu.core import codec
-    from aindex_tpu.core.reads import ReadsStore
+    """Standalone k-mer analysis report — argument plumbing over
+    aindex_tpu.analysis (the engine-backed equivalent of the reference's
+    analyze_kmers.py; see that module for record/summary semantics)."""
+    from aindex_tpu.analysis import analyze_kmers, write_report
     from aindex_tpu.io.fastq import read_sequences
-    from aindex_tpu.kernels.spectrum import host_window_codes
 
     inputs = _split_inputs(args.input)
     _check_distinct(inputs, [args.output, args.output + ".summary"])
-    k = args.kmer_size
     seqs = []
     for path in inputs:
         seqs.extend(read_sequences(path))
-    store = ReadsStore.from_sequences(seqs)
-    codes, valid = host_window_codes(store.blob, k)
-    pos = np.flatnonzero(valid)
-    codes = codes[pos]
-    canon = codec.canonical_code(codes, k)
-    direction = (codes != canon).astype(np.int64)
-    rid = store.rid_by_pos(pos)
-    in_read = pos - store.starts[rid]
-
-    order = np.lexsort((pos, canon))
-    canon, pos, rid, in_read, direction = (a[order] for a in
-                                           (canon, pos, rid, in_read,
-                                            direction))
-    keys, starts, counts = np.unique(canon, return_index=True,
-                                     return_counts=True)
-    keep = counts >= args.min_count
-    keys, starts, counts = keys[keep], starts[keep], counts[keep]
-    # count desc, then k-mer ascending (code order == lexicographic)
-    rank = np.lexsort((keys, -counts.astype(np.int64)))
-    kmers = codec.decode_kmers(keys[rank], k)
-    with open(args.output, "w") as f:
-        for j, km in zip(rank, kmers):
-            s, c = int(starts[j]), int(counts[j])
-            occ = "\t".join(f"{rid[i]},{in_read[i]},{direction[i]}"
-                            for i in range(s, s + c))
-            f.write(f"{km}\t{c}\t{occ}\n")
-    total = int(counts.sum())
-    with open(args.output + ".summary", "w") as f:
-        f.write("=== K-mer Analysis Summary ===\n")
-        f.write(f"Input sequences: {len(seqs)}\n")
-        f.write(f"K-mer size: {k}\n")
-        f.write(f"Total k-mers: {total}\n")
-        f.write(f"Unique k-mers: {len(keys)}\n")
-        f.write(f"Singleton k-mers: {int((counts == 1).sum())}\n")
-        f.write(f"Max k-mer frequency: {int(counts.max()) if len(keys) else 0}\n")
-        if len(keys):
-            f.write(f"Average frequency: {total / len(keys):.2f}\n")
-            f.write(f"K-mer space coverage: "
-                    f"{100.0 * len(keys) / 4 ** k:.6f}%\n")
-    print(f"Analysis completed. Found {len(keys)} unique k-mers.")
+    analysis = analyze_kmers(seqs, args.kmer_size, args.min_count)
+    write_report(analysis, args.output)
+    print(f"Analysis completed. Found {len(analysis.keys)} unique k-mers.")
     print(f"Results saved to: {args.output}")
     print(f"Summary saved to: {args.output}.summary")
     return 0

@@ -521,6 +521,16 @@ class EmphfMPHFAdapter:
 _PERM_CACHE: dict = {}
 
 
+def clear_perm_cache() -> None:
+    """Release the cached dense slot permutation (512 MB at k=13).
+
+    The cache makes a table load and its positional re-key share one 4^k
+    hashing pass, but it deliberately survives the index objects — a
+    long-lived process that is done with reference-format loads can call
+    this to give the memory back."""
+    _PERM_CACHE.clear()
+
+
 def dense_slot_permutation(pf: EmphfPF, k: int, chunk: int = 1 << 22
                            ) -> np.ndarray:
     """int64[4^k]: MPHF slot of every k-mer code, in code order — the

@@ -210,20 +210,25 @@ class Sparse23Index:
                 np.arange(self.n, dtype=np.int32))
         return self._cuckoo
 
-    def _query(self, canon: np.ndarray, valid: np.ndarray):
-        """(tf, slot) device query on canonical keys; slot -1 when absent."""
+    def _query(self, canon: np.ndarray, valid):
+        """(tf, slot) device query on canonical keys; slot -1 when absent.
+        ``valid=None`` asserts every key is real (maskless fast path)."""
         from aindex_tpu.index.cuckoo import cuckoo_query
         ck = self.cuckoo
         if ck is not None:
             return cuckoo_query(ck.device, jnp.asarray(canon),
-                                jnp.asarray(valid), ck.seed1, ck.seed2, m=ck.m)
+                                None if valid is None else jnp.asarray(valid),
+                                ck.seed1, ck.seed2, m=ck.m)
         if self.g_packed is None:
             raise RuntimeError(
                 f"no device query path for k={self.k}: the cuckoo accelerator "
                 "needs k <= 30 and the emphf MPHF has no device walk")
+        canon = jnp.asarray(canon)
+        if valid is None:
+            valid = jnp.ones(canon.shape, dtype=bool)
         return _query_kernel(self.g_packed, self.slots, self.checker, self.tf,
                              self.seed, self.domain,
-                             jnp.asarray(canon), jnp.asarray(valid))
+                             canon, jnp.asarray(valid))
 
     def _resolve(self, codes, valid):
         """(tf, slot, strand) for LITERAL k-mer codes; strand 0/1/2 =
@@ -243,6 +248,10 @@ class Sparse23Index:
             if prefer_host_ascii_queries():
                 return self._resolve_host(codes, np.asarray(valid))
         return self._resolve_device(codes, valid)
+
+    def _resolve_device_maskless(self, codes):
+        """_resolve_device with no validity mask (codes-in fast path)."""
+        return self._resolve_device(codes, None)
 
     def _query_host_ascii(self, raw: bytes, n: int):
         """Fused native host engine: raw ASCII k-mer run -> (tf, slot,
@@ -286,7 +295,7 @@ class Sparse23Index:
     def _resolve_device(self, codes, valid):
         from aindex_tpu.kernels.encode import revcomp_code64
         codes_j = jnp.asarray(codes).astype(jnp.uint64)
-        valid_j = jnp.asarray(valid)
+        valid_j = None if valid is None else jnp.asarray(valid)
         rc = revcomp_code64(codes_j, self.k)
         if self.canonical_keys:
             canon = jnp.minimum(codes_j, rc)
@@ -297,6 +306,7 @@ class Sparse23Index:
             return tf, slot, strand
         b = codes_j.shape[0]
         tf2, slot2 = self._query(jnp.concatenate([codes_j, rc]),
+                                 None if valid_j is None else
                                  jnp.concatenate([valid_j, valid_j]))
         hit_f = slot2[:b] >= 0
         hit_r = slot2[b:] >= 0
@@ -459,8 +469,6 @@ class Sparse23Index:
         asserts every code is a valid k-mer.
         """
         codes = jnp.asarray(codes)
-        if valid is None:
-            valid = jnp.ones(codes.shape, dtype=bool)
         tf, _, _ = self._resolve_device(codes, valid)
         return tf.astype(jnp.uint32)
 

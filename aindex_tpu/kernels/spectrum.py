@@ -78,6 +78,45 @@ def _run_bounds(is_new: jax.Array):
     return iota, run_end
 
 
+def _pair_sort_spectrum(keys: "jax.Array", weights):
+    """Shared TPU formulation for both spectrum reducers: pair-sort the
+    (hi32, lo32) key halves, derive run bounds from scans, compute each
+    run's count (run length, or the weighted prefix-sum difference when
+    ``weights`` is given), and compact the unique records to the front
+    with a second pair-sort. No scatters anywhere."""
+    from jax import lax
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = keys.astype(jnp.uint32)
+    if weights is None:
+        shi, slo = lax.sort((hi, lo), num_keys=2)
+        w = None
+    else:
+        shi, slo, w = lax.sort((hi, lo, weights.astype(jnp.uint64)),
+                               num_keys=2)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    s_hi = jnp.uint32(SENTINEL >> np.uint64(32))
+    s_lo = jnp.uint32(SENTINEL & np.uint64(0xFFFFFFFF))
+    live = ~((shi == s_hi) & (slo == s_lo))
+    iota, run_end = _run_bounds(is_new)
+    first = is_new & live
+    if weights is None:
+        count_first = jnp.where(first, (run_end - iota).astype(jnp.uint32), 0)
+    else:
+        csum = jnp.cumsum(w)
+        end_sum = csum[jnp.maximum(run_end - 1, 0)]
+        start_sum = jnp.where(iota > 0, csum[jnp.maximum(iota - 1, 0)],
+                              jnp.uint64(0))
+        count_first = jnp.where(first, end_sum - start_sum, jnp.uint64(0))
+    chi, clo, counts = lax.sort(
+        (jnp.where(first, shi, s_hi), jnp.where(first, slo, s_lo),
+         count_first), num_keys=2)
+    keys_out = (chi.astype(jnp.uint64) << jnp.uint64(32)) \
+        | clo.astype(jnp.uint64)
+    n_unique = jnp.sum(first).astype(jnp.int32)
+    return keys_out, counts, n_unique
+
+
 @jax.jit
 def sorted_spectrum(keyed: jax.Array):
     """Segment-reduce a flat uint64 key array (SENTINEL = ignore).
@@ -85,33 +124,14 @@ def sorted_spectrum(keyed: jax.Array):
     Returns (keys[N], counts[N], n_unique) with unique keys sorted ascending
     in the first ``n_unique`` entries.
 
-    TPU path: sort as (hi32, lo32) pairs (native 32-bit comparators), run
-    lengths from reverse-cummin scans, and a second pair-sort that compacts
-    the (unique key, count) records to the front — no scatters anywhere.
-    CPU path: the classic segment scatter-add/scatter-min compaction.
-    Both bit-identical (tests/test_sparse23.py races them).
+    TPU path: the scatter-free pair-sort formulation (_pair_sort_spectrum
+    — 4.4x the scatter compaction on v5e). CPU path: the classic segment
+    scatter-add/scatter-min compaction (8x faster there). Resolved at
+    trace time; both bit-identical (tests/test_sparse23.py races them).
     """
-    from jax import lax
     n = keyed.shape[0]
     if _prefer_pair_sort():
-        hi = (keyed >> jnp.uint64(32)).astype(jnp.uint32)
-        lo = keyed.astype(jnp.uint32)
-        shi, slo = lax.sort((hi, lo), num_keys=2)
-        is_new = jnp.concatenate(
-            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-        s_hi = jnp.uint32(SENTINEL >> np.uint64(32))
-        s_lo = jnp.uint32(SENTINEL & np.uint64(0xFFFFFFFF))
-        live = ~((shi == s_hi) & (slo == s_lo))
-        iota, run_end = _run_bounds(is_new)
-        first = is_new & live
-        count_first = jnp.where(first, (run_end - iota).astype(jnp.uint32), 0)
-        chi, clo, counts = lax.sort(
-            (jnp.where(first, shi, s_hi), jnp.where(first, slo, s_lo),
-             count_first), num_keys=2)
-        keys = (chi.astype(jnp.uint64) << jnp.uint64(32)) \
-            | clo.astype(jnp.uint64)
-        n_unique = jnp.sum(first).astype(jnp.int32)
-        return keys, counts, n_unique
+        return _pair_sort_spectrum(keyed, None)
     s = jnp.sort(keyed)
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]])
@@ -132,35 +152,12 @@ def sorted_spectrum_weighted(keys: jax.Array, weights: jax.Array):
     The merge step of the sharded multi-device spectrum: inputs are
     already-reduced partial spectra, so each key carries a count. Returns
     (keys[N], counts[N], n_unique) with unique keys sorted ascending.
-    Same TPU/CPU formulations as ``sorted_spectrum``; segment sums on the
-    TPU path come from prefix-sum differences at run bounds (no scatter).
+    Same TPU/CPU dispatch as ``sorted_spectrum`` (the TPU path is
+    _pair_sort_spectrum with weighted segment sums).
     """
-    from jax import lax
     n = keys.shape[0]
     if _prefer_pair_sort():
-        hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
-        lo = keys.astype(jnp.uint32)
-        shi, slo, w = lax.sort((hi, lo, weights.astype(jnp.uint64)),
-                               num_keys=2)
-        is_new = jnp.concatenate(
-            [jnp.ones((1,), bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-        s_hi = jnp.uint32(SENTINEL >> np.uint64(32))
-        s_lo = jnp.uint32(SENTINEL & np.uint64(0xFFFFFFFF))
-        live = ~((shi == s_hi) & (slo == s_lo))
-        iota, run_end = _run_bounds(is_new)
-        first = is_new & live
-        csum = jnp.cumsum(w)
-        end_sum = csum[jnp.maximum(run_end - 1, 0)]
-        start_sum = jnp.where(iota > 0, csum[jnp.maximum(iota - 1, 0)],
-                              jnp.uint64(0))
-        seg_sum = jnp.where(first, end_sum - start_sum, jnp.uint64(0))
-        chi, clo, counts = lax.sort(
-            (jnp.where(first, shi, s_hi), jnp.where(first, slo, s_lo),
-             seg_sum), num_keys=2)
-        keys_out = (chi.astype(jnp.uint64) << jnp.uint64(32)) \
-            | clo.astype(jnp.uint64)
-        n_unique = jnp.sum(first).astype(jnp.int32)
-        return keys_out, counts, n_unique
+        return _pair_sort_spectrum(keys, weights)
     order = jnp.argsort(keys)
     s = keys[order]
     w = weights[order].astype(jnp.uint64)
@@ -204,8 +201,8 @@ def host_chunk_spectrum(ascii_chunk: np.ndarray, k: int
     The spectrum engine for slow device links (core.hostdev
     spectrum_reduce_mode): no H2D, no D2H. The fast path is one native C
     pass chain (rolling encode + incremental revcomp + LSD radix sort +
-    run-length, native.host_spectrum_ascii, ~4x the numpy path); the
-    numpy fallback is the shift-or scan above + np.unique.
+    run-length, native.host_spectrum_ascii, threaded); the numpy fallback
+    is the shift-or scan above + np.unique.
     """
     from aindex_tpu.core import codec
     from aindex_tpu import native

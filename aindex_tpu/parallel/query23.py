@@ -100,3 +100,18 @@ class ShardedSparse23:
             self.seed, self.domain, jnp.asarray(canon), jnp.asarray(valid),
             mesh=self.mesh)
         return np.asarray(out)
+
+    def get_tf_values_codes(self, codes, valid=None) -> jax.Array:
+        """Codes-in twin of Sparse23Index.get_tf_values_codes against the
+        slot-sharded table: device array in -> device uint32 out, served
+        by every device's shard with one psum merge."""
+        from aindex_tpu.kernels.encode import canonical_code64
+        codes = jnp.asarray(codes).astype(jnp.uint64)
+        if valid is None:
+            valid = jnp.ones(codes.shape, dtype=bool)
+        canon = canonical_code64(codes, self.k)
+        out = query23_sharded(
+            self.g_packed, self.slots, self.tf_sharded, self.checker_sharded,
+            self.seed, self.domain, canon, jnp.asarray(valid),
+            mesh=self.mesh)
+        return out.astype(jnp.uint32)

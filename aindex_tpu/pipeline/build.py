@@ -145,30 +145,48 @@ def save_dat(keys: np.ndarray, counts: np.ndarray, k: int, path: str) -> None:
             f.write("".join(f"{km}\t{int(tf)}\n" for km, tf in zip(kmers, tfs)))
 
 
-def load_dat(path: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+def load_dat(path: str, k: int, block: int = 1 << 20
+             ) -> tuple[np.ndarray, np.ndarray]:
     """Parse a text spectrum ('kmer\\tcount' per line, any order) into
     (codes, counts) — the input side of the external-counter option.
-    Counts for duplicate canonical forms are merged; non-ACGT rows raise."""
+    Counts for duplicate canonical forms are merged; non-ACGT rows raise.
+
+    Streamed in blocks of ``block`` lines: a jellyfish-scale dump has
+    10^8+ rows, and holding them as Python strings would cost ~100 bytes
+    each — per-block encode keeps residency at ~16 bytes/key."""
+    from aindex_tpu.kernels.spectrum import merge_spectra
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
     kmers: list[str] = []
     counts: list[int] = []
+
+    def flush():
+        if not kmers:
+            return
+        codes, valid = codec.encode_kmers(kmers, k)
+        if not valid.all():
+            bad = [km for km, v in zip(kmers, valid) if not v][:3]
+            raise ValueError(f"{path}: non-ACGT k-mers (e.g. {bad})")
+        canon = codec.canonical_code(codes, k)
+        keys, inv = np.unique(canon, return_inverse=True)
+        merged = np.zeros(keys.size, dtype=np.uint64)
+        np.add.at(merged, inv, np.asarray(counts, dtype=np.uint64))
+        parts.append((keys, merged))
+        kmers.clear()
+        counts.clear()
+
     with open(path) as f:
         for line in f:
-            parts = line.split()
-            if not parts:
+            cols = line.split()
+            if not cols:
                 continue
-            kmers.append(parts[0])
-            counts.append(int(parts[1]) if len(parts) > 1 else 0)
-    if not kmers:
+            kmers.append(cols[0])
+            counts.append(int(cols[1]) if len(cols) > 1 else 0)
+            if len(kmers) >= block:
+                flush()
+    flush()
+    if not parts:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    codes, valid = codec.encode_kmers(kmers, k)
-    if not valid.all():
-        bad = [km for km, v in zip(kmers, valid) if not v][:3]
-        raise ValueError(f"{path}: non-ACGT k-mers (e.g. {bad})")
-    canon = codec.canonical_code(codes, k)
-    keys, inv = np.unique(canon, return_inverse=True)
-    merged = np.zeros(keys.size, dtype=np.uint64)
-    np.add.at(merged, inv, np.asarray(counts, dtype=np.uint64))
-    return keys, merged
+    return merge_spectra(parts)
 
 
 def _phase_progress(cfg: BuildConfig, total: int, label: str):
