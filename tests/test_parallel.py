@@ -71,6 +71,18 @@ def test_sharded_23mer_query_matches_single_device(reads, eight_devices, n_index
     assert (got == want).all()
     assert [int(v) for v in got[:300]] == [golden[km] for km in kmers[:300]]
 
+    # codes-in twin serves from the same sharded tables (both strands)
+    from aindex_tpu.core import codec
+    kms = sorted(golden)[:100] + [oracle.rc(km) for km in sorted(golden)[:50]]
+    codes, _ = codec.encode_kmers(kms, 23)
+    got_c = np.asarray(sharded.get_tf_values_codes(codes))
+    assert got_c.dtype == np.uint32
+    np.testing.assert_array_equal(got_c, np.asarray(index.get_tf_values(kms)))
+    mask = np.zeros(len(kms), bool)
+    mask[::2] = True
+    got_m = np.asarray(sharded.get_tf_values_codes(codes, mask))
+    np.testing.assert_array_equal(got_m, np.where(mask, got_c, 0))
+
 
 def test_2d_mesh_count_and_query(reads, eight_devices):
     """data x index 2-D mesh: count over data axis while the sparse table
