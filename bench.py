@@ -37,6 +37,8 @@ REF_POSITIONS_23 = 1.4e6         # pos/s
 # host (2 threads, 50.9 MB random 150 bp FASTA reads) — BASELINE_LOCAL.md
 REF_COUNT13_MBPS = 3.80          # count_kmers13 (includes .tf.bin save)
 REF_COUNT23_MBPS = 0.44          # kmer_counter (includes text save)
+REF_FREQ_ITER = 500e3            # frequency-sorted iteration, kmers/s
+#                                  (KMER_FREQUENCY_ITERATOR.md:165)
 
 FAST = bool(os.environ.get("BENCH_FAST"))
 
@@ -211,6 +213,23 @@ def main():
 
     t = _median_time(cov23, reps=5)
     emit("coverage_23mer", n_cov / t, "sequences/s/chip", REF_COVERAGE_23)
+
+    # ---- frequency-sorted iteration (argsort + blocked decode) -----------
+    from aindex_tpu.api import AIndex
+    ai13 = AIndex()
+    ai13.dense13 = dense
+    ai13._loaded = True
+    cap = 200_000 if FAST else 1_000_000
+
+    def freq_iter():
+        n = 0
+        for _ in ai13.iter_kmers_by_frequency(min_tf=1, max_kmers=cap):
+            n += 1
+        return n
+
+    n_it = freq_iter()
+    t = _median_time(freq_iter, reps=3)
+    emit("13mer_frequency_iteration", n_it / t, "kmers/s", REF_FREQ_ITER)
 
     # ---- position analysis (host CSR, built host-side) -------------------
     codes13 = codes13_all
