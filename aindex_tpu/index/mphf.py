@@ -155,6 +155,15 @@ class MPHF:
         for _ in range(max_trials):
             seed = int(rng.integers(0, 2**63, dtype=np.int64))
             if native_ok:
+                # The native peeler's packed adjacency uses uint32 node/edge
+                # ids; past that it would return "peel failed" and this loop
+                # would burn every trial growing the domain — fail loudly
+                # instead (mirrors EmphfPF.build_exact's explicit guard).
+                if n >= 2**32 or 3 * domain >= 2**32:
+                    raise ValueError(
+                        f"key set too large for the native peeler's uint32 "
+                        f"node ids (n={n}, nodes={3*domain}); build per-host "
+                        f"shards (parallel/distributed) instead")
                 out = native_mod.mphf_try_build(keys, seed, domain)
             else:
                 out = cls._try_build(keys, n, domain, seed)

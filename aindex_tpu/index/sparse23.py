@@ -193,16 +193,32 @@ class Sparse23Index:
         # revcomp (get_freq, /root/reference/src/hash.hpp:123-140).
         self.canonical_keys = not _is_reference_mphf(mphf)
         self._cuckoo = None
+        self._quot = None
 
     @property
     def n(self) -> int:
         return self.mphf.n
 
     @property
+    def quot(self):
+        """Preferred device/host query engine (index/quotcuckoo.py):
+        verified (key -> tf) in two 8-byte row gathers — the >=100M
+        q/s/chip layout — plus a separate slot column for position paths.
+        Built lazily; None when the fingerprint-width floor makes the
+        layout wasteful for this (n, k) (the wide ``cuckoo`` then serves)."""
+        if self._quot is None and self.k <= 30:
+            from aindex_tpu.index import quotcuckoo
+            if quotcuckoo.eligible(self.n, self.k):
+                self._quot = quotcuckoo.QuotCuckoo.build(
+                    self.checker_host, self.tf_host,
+                    np.arange(self.n, dtype=np.int32), self.k)
+        return self._quot
+
+    @property
     def cuckoo(self):
-        """Device query accelerator (see aindex_tpu.index.cuckoo): verified
-        (key -> tf, slot) in two row gathers instead of the 7-gather MPHF
-        walk. Built lazily; requires keys < 2^62 (k <= 30)."""
+        """Wide-row fallback engine (see aindex_tpu.index.cuckoo): verified
+        (key -> tf, slot) in two 16-byte row gathers. Built lazily;
+        requires keys < 2^62 (k <= 30)."""
         if self._cuckoo is None and self.k <= 30:
             from aindex_tpu.index.cuckoo import CuckooTable
             self._cuckoo = CuckooTable.build(
@@ -210,9 +226,20 @@ class Sparse23Index:
                 np.arange(self.n, dtype=np.int32))
         return self._cuckoo
 
+    def _host_engine(self):
+        """The built host-lookup engine (quot preferred, wide fallback);
+        None for k > 30."""
+        return self.quot or self.cuckoo
+
     def _query(self, canon: np.ndarray, valid):
         """(tf, slot) device query on canonical keys; slot -1 when absent.
         ``valid=None`` asserts every key is real (maskless fast path)."""
+        qc = self.quot
+        if qc is not None:
+            from aindex_tpu.index.quotcuckoo import quot_query
+            return quot_query(qc.device, qc.slot_device, jnp.asarray(canon),
+                              None if valid is None else jnp.asarray(valid),
+                              *qc.mults, m=qc.m, lb=qc.lb, w=qc.w)
         from aindex_tpu.index.cuckoo import cuckoo_query
         ck = self.cuckoo
         if ck is not None:
@@ -253,14 +280,50 @@ class Sparse23Index:
         """_resolve_device with no validity mask (codes-in fast path)."""
         return self._resolve_device(codes, None)
 
+    def _query_tf(self, canon, valid):
+        """tf-only device query on canonical keys: two 8-byte row gathers
+        on the quotient engine, no slot-column gather."""
+        qc = self.quot
+        if qc is not None:
+            from aindex_tpu.index.quotcuckoo import quot_query_tf
+            return quot_query_tf(qc.device, jnp.asarray(canon),
+                                 None if valid is None else jnp.asarray(valid),
+                                 *qc.mults, m=qc.m, lb=qc.lb, w=qc.w)
+        tf, _ = self._query(canon, valid)
+        return tf
+
+    def _resolve_tf_device(self, codes, valid):
+        """tf per literal k-mer code, device path, no slot/strand: the
+        engine for get_tf_values_codes and coverage (the north-star
+        query), fused into one compiled kernel on the quotient engine.
+        Falls back to the full _resolve_device for reference-keyed indexes
+        (their fwd-else-rc rule needs per-probe hit flags) and for
+        quot-ineligible (n, k)."""
+        qc = self.quot if self.canonical_keys else None
+        if qc is None:
+            tf, _, _ = self._resolve_device(codes, valid)
+            return tf.astype(jnp.uint32)
+        from aindex_tpu.index.quotcuckoo import quot_tf_canonical
+        codes_j = jnp.asarray(codes)
+        valid_j = None if valid is None else jnp.asarray(valid)
+        return quot_tf_canonical(qc.device, codes_j, valid_j, *qc.mults,
+                                 k=self.k, m=qc.m, lb=qc.lb, w=qc.w)
+
     def _query_host_ascii(self, raw: bytes, n: int):
         """Fused native host engine: raw ASCII k-mer run -> (tf, slot,
-        strand) in one C pass (native.sparse_query_ascii); None when the
-        native library is unavailable (caller falls back to encode +
-        _resolve)."""
+        strand) in one C pass (native.sparse_query_ascii_quot / the wide
+        twin); None when the native library is unavailable (caller falls
+        back to encode + _resolve)."""
         from aindex_tpu import native
+        if not native.available():
+            return None
+        qc = self.quot
+        if qc is not None:
+            return native.sparse_query_ascii_quot(
+                raw, n, self.k, self.canonical_keys, qc.fp_tf_host,
+                qc.slot_host, qc.m, qc.lb, qc.w, qc.mults)
         ck = self.cuckoo
-        if ck is None or not native.available():
+        if ck is None:
             return None
         return native.sparse_query_ascii(raw, n, self.k, self.canonical_keys,
                                          ck.table_host, ck.m, ck.seed1,
@@ -271,7 +334,7 @@ class Sparse23Index:
         (tf, slot, strand) contract, vectorised numpy throughout."""
         codes = np.asarray(codes, dtype=np.uint64)
         rc = codec.revcomp_code(codes, self.k)
-        ck = self.cuckoo
+        ck = self._host_engine()
 
         def probe(keys, v):
             found, tf, slot = ck.lookup_host(keys)
@@ -463,14 +526,14 @@ class Sparse23Index:
 
         Device array in -> device uint32 array out: no string encode, no
         host round-trip, no link-policy routing — the full-rate sparse
-        query entry point (two cuckoo row gathers per batch). Encode once
-        (``codec.encode_kmers`` or ``kernels.encode.window_codes``), keep
-        the codes on device, and query at gather rate. ``valid=None``
-        asserts every code is a valid k-mer.
+        query entry point. On the quotient engine this is one fused kernel
+        (revcomp + canonical + two 8-byte row gathers, no slot column) —
+        the >=100M q/s/chip path. Encode once (``codec.encode_kmers`` or
+        ``kernels.encode.window_codes``), keep the codes on device, and
+        query at gather rate. ``valid=None`` asserts every code is a
+        valid k-mer.
         """
-        codes = jnp.asarray(codes)
-        tf, _, _ = self._resolve_device(codes, valid)
-        return tf.astype(jnp.uint32)
+        return self._resolve_tf_device(jnp.asarray(codes), valid)
 
     def get_tf_both_directions(self, kmers: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """(fwd tf, rc tf). Both entries equal the verified canonical tf:
@@ -478,10 +541,19 @@ class Sparse23Index:
         (get_tf_value_23mer, /root/reference/src/python_wrapper.cpp:610-627),
         so get_tf_both_directions_23mer (:1258-1273) — which probes the
         literal k-mer and then its revcomp with that same rule — returns
-        (tf, tf) for any present k-mer and (0, 0) otherwise."""
+        (tf, tf) for any present k-mer and (0, 0) otherwise.
+
+        Exception: a reference-keyed index (canonical_keys=False) may store
+        BOTH strands as distinct keys with different counts, in which case
+        the reference returns (tf[kmer], tf[revcomp]); the second probe is
+        therefore resolved independently there instead of reusing the
+        first."""
         tf, _, _ = self._resolve_ascii(kmers)
         tf = np.asarray(tf)
-        return tf, tf.copy()
+        if self.canonical_keys:
+            return tf, tf.copy()
+        tf_rc, _, _ = self._resolve_ascii([codec.revcomp(km) for km in kmers])
+        return tf, np.asarray(tf_rc)
 
     def get_pfids(self, kmers: list[str]) -> np.ndarray:
         """Slot id per k-mer; n (invalid marker) when absent
@@ -528,7 +600,7 @@ class Sparse23Index:
         get_tf_value, /root/reference/src/hash.hpp:123-140)."""
         codes, valid = _extract_windows(jnp.asarray(mat), self.k)
         shape = codes.shape
-        tf, _, _ = self._resolve(codes.reshape(-1), valid.reshape(-1))
+        tf = self._resolve_tf_device(codes.reshape(-1), valid.reshape(-1))
         tf = tf.reshape(shape)
         if cutoff:
             tf = jnp.where(tf >= jnp.uint32(cutoff), tf, jnp.zeros((), tf.dtype))

@@ -193,8 +193,16 @@ def compute_reads(input1, input2: str | None, read_type: str,
                     fhead.write(f"{head}\t{start}\t{len(s)}\n")
                     _write(fout, fidx, s)
     elif read_type == "reads":
-        same_file = (len(inputs) == 1 and
-                     os.path.abspath(inputs[0]) == os.path.abspath(reads_path))
+        aliased = [p for p in inputs
+                   if os.path.abspath(p) == os.path.abspath(reads_path)]
+        same_file = len(inputs) == 1 and bool(aliased)
+        if aliased and not same_file:
+            # with >1 input the loop streams lines while writing reads_path;
+            # reading and rewriting the same file concurrently would corrupt
+            # it, so only the in-place single-input form is allowed
+            raise ValueError(
+                f"input {aliased[0]!r} is the output .reads file; in-place "
+                f"indexing requires it to be the only input")
         with open(ridx_path, "w") as fidx:
             fout = None if same_file else open(reads_path, "w")
             try:

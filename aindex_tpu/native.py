@@ -60,6 +60,21 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32)]
+    lib.quot_build.restype = ctypes.c_int32
+    lib.quot_build.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.sparse_query_ascii_quot.restype = ctypes.c_int64
+    lib.sparse_query_ascii_quot.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.encode_kmers_2bit.restype = ctypes.c_int64
     lib.encode_kmers_2bit.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
@@ -244,6 +259,65 @@ def cuckoo_build(keys: np.ndarray, tf: np.ndarray, slot: np.ndarray,
         ctypes.c_uint64(seed1), ctypes.c_uint64(seed2),
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return table if ok else None
+
+
+def quot_build(keys: np.ndarray, tf: np.ndarray, slot: np.ndarray, m: int,
+               lb: int, w: int, mults: tuple[int, int, int, int]
+               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native quotiented-cuckoo insertion; returns (fp_tf uint32[2m, 2],
+    slot int32[2m]) or None on eviction-cycle failure (caller re-derives
+    multipliers / grows). See index/quotcuckoo.py for the layout."""
+    lib = get_lib()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    tf = np.ascontiguousarray(tf, dtype=np.uint32)
+    slot = np.ascontiguousarray(slot, dtype=np.int32)
+    fp_tf = np.empty((2 * m, 2), dtype=np.uint32)
+    slot_col = np.empty(2 * m, dtype=np.int32)
+    ok = lib.quot_build(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(keys)), ctypes.c_uint64(m), ctypes.c_int32(lb),
+        ctypes.c_int32(w), ctypes.c_uint64(mults[0]),
+        ctypes.c_uint64(mults[1]), ctypes.c_uint64(mults[2]),
+        ctypes.c_uint64(mults[3]),
+        fp_tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot_col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return (fp_tf, slot_col) if ok else None
+
+
+def sparse_query_ascii_quot(raw: np.ndarray | bytes, n: int, k: int,
+                            canonical_keys: bool, fp_tf: np.ndarray,
+                            slot_col: np.ndarray, m: int, lb: int, w: int,
+                            mults
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused host engine over the quotiented table: ASCII k-mer batch ->
+    (tf, slot, strand) in one C pass. None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, bytes) \
+        else np.ascontiguousarray(raw, dtype=np.uint8)
+    fp_tf = np.ascontiguousarray(fp_tf, dtype=np.uint32)
+    slot_col = np.ascontiguousarray(slot_col, dtype=np.int32)
+    tf = np.empty(n, dtype=np.uint32)
+    slot = np.empty(n, dtype=np.int32)
+    strand = np.empty(n, dtype=np.int32)
+    lib.sparse_query_ascii_quot(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(k),
+        ctypes.c_int32(1 if canonical_keys else 0),
+        fp_tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot_col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_uint64(m), ctypes.c_int32(lb), ctypes.c_int32(w),
+        ctypes.c_uint64(int(mults[0])), ctypes.c_uint64(int(mults[1])),
+        ctypes.c_uint64(int(mults[2])), ctypes.c_uint64(int(mults[3])),
+        ctypes.c_int32(native_threads()),
+        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return tf, slot, strand
 
 
 def scan_newlines_native(blob: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:

@@ -179,8 +179,14 @@ def load_dat(path: str, k: int, block: int = 1 << 20
             cols = line.split()
             if not cols:
                 continue
+            if len(cols) < 2:
+                # mirror the non-ACGT validation: a row without a count
+                # column is a malformed spectrum, not a zero-tf key
+                raise ValueError(
+                    f"{path}: spectrum row without a count column: "
+                    f"{line.rstrip()!r}")
             kmers.append(cols[0])
-            counts.append(int(cols[1]) if len(cols) > 1 else 0)
+            counts.append(int(cols[1]))
             if len(kmers) >= block:
                 flush()
     flush()

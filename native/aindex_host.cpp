@@ -183,6 +183,77 @@ int32_t cuckoo_build(const uint64_t* keys, const uint32_t* tf,
   return 1;
 }
 
+// Quotiented cuckoo build (round-5 engine; see aindex_tpu/index/quotcuckoo.py).
+//
+// Each half-table has its own xorshift-multiply bijection on the 2k-bit code
+// space; a row stores (fingerprint = hash >> lb, tf) in 8 bytes plus the slot
+// id in a parallel int32 column. Row index + fingerprint reconstruct the full
+// hash, hence (bijection) the full key — fingerprint match is exact. The
+// builder keeps a transient side array of full keys so evictees can be
+// re-hashed without inverting the bijection.
+//
+// Returns 1 on success, 0 if an insertion path exceeded max_kicks.
+
+static inline uint64_t bij2k(uint64_t x, uint64_t ma, uint64_t mb, int w) {
+  const uint64_t mask = (w >= 64) ? ~0ULL : ((1ULL << w) - 1);
+  const int s = (w + 1) / 2;
+  x &= mask;
+  x ^= x >> s;
+  x = (x * ma) & mask;
+  x ^= x >> s;
+  x = (x * mb) & mask;
+  x ^= x >> s;
+  return x;
+}
+
+int32_t quot_build(const uint64_t* keys, const uint32_t* tf,
+                   const int32_t* slot, int64_t n, uint64_t m, int32_t lb,
+                   int32_t w, uint64_t m1a, uint64_t m1b, uint64_t m2a,
+                   uint64_t m2b, uint32_t* fp_tf, int32_t* slot_col) {
+  const uint64_t mask = m - 1;
+  for (uint64_t r = 0; r < 2 * m; ++r) {
+    fp_tf[r * 2 + 0] = 0xFFFFFFFFu;  // empty marker (fp < 2^31)
+    fp_tf[r * 2 + 1] = 0;
+    slot_col[r] = 0;
+  }
+  std::vector<uint64_t> side(2 * m, 0);
+  const int max_kicks = 512;
+  uint64_t rng = m1a ^ 0x9E3779B97F4A7C15ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t key = keys[i];
+    uint32_t etf = tf[i];
+    int32_t eslot = slot[i];
+    int half = 0;
+    int kicks = 0;
+    for (;;) {
+      uint64_t h = half == 0 ? bij2k(key, m1a, m1b, w)
+                             : bij2k(key, m2a, m2b, w);
+      uint64_t row = (h & mask) + (half ? m : 0);
+      uint32_t* cell = fp_tf + row * 2;
+      if (cell[0] == 0xFFFFFFFFu) {
+        cell[0] = (uint32_t)(h >> lb);
+        cell[1] = etf;
+        slot_col[row] = eslot;
+        side[row] = key;
+        break;
+      }
+      uint64_t okey = side[row];
+      uint32_t otf = cell[1];
+      int32_t oslot = slot_col[row];
+      cell[0] = (uint32_t)(h >> lb);
+      cell[1] = etf;
+      slot_col[row] = eslot;
+      side[row] = key;
+      key = okey; etf = otf; eslot = oslot;
+      half ^= 1;
+      if (++kicks > max_kicks) return 0;
+      rng = mix64(rng);
+      if ((kicks & 63) == 0 && (rng & 1)) half ^= 1;
+    }
+  }
+  return 1;
+}
+
 // ---------------------------------------------------------------------------
 // reads preparation
 // ---------------------------------------------------------------------------
@@ -870,6 +941,135 @@ int64_t sparse_query_ascii(const uint8_t* raw, int64_t n, int32_t k,
     threads.emplace_back(sparse_query_range, raw, lo, hi, k, canonical_keys,
                          table, m, seed1, seed2, tf_out, slot_out,
                          strand_out);
+  }
+  for (auto& th : threads) th.join();
+  return n;
+}
+
+// Quotient-layout twin of sparse_query_range (see quot_build above): encode
+// + canonical + two 8-byte probes per key, blocked with software prefetch.
+// A probe verifies by fingerprint compare — exact by quotient
+// reconstruction, no key bytes in the row.
+static void sparse_query_range_quot(
+    const uint8_t* raw, int64_t lo_i, int64_t n, int32_t k,
+    int32_t canonical_keys, const uint32_t* fp_tf, const int32_t* slot_col,
+    uint64_t m, int32_t lb, int32_t w, uint64_t m1a, uint64_t m1b,
+    uint64_t m2a, uint64_t m2b, uint32_t* tf_out, int32_t* slot_out,
+    int32_t* strand_out) {
+  const uint64_t mask = m - 1;
+  enum { BLOCK = 1024 };
+  uint64_t key1[BLOCK], key2[BLOCK];
+  uint64_t row[BLOCK], fp[BLOCK];
+  int64_t pend[BLOCK];
+
+  for (int64_t b0 = lo_i; b0 < n; b0 += BLOCK) {
+    int64_t bn = n - b0 < BLOCK ? n - b0 : BLOCK;
+    for (int64_t t = 0; t < bn; ++t) {
+      int64_t i = b0 + t;
+      uint8_t ok;
+      uint64_t code = encode_one_rt(raw + (size_t)i * k, k, &ok);
+      uint64_t rc = revcomp_code(code, k);
+      if (!ok) {
+        tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+        key1[t] = ~0ULL; key2[t] = ~0ULL; row[t] = 0; fp[t] = ~0ULL;
+        continue;
+      }
+      if (canonical_keys) {
+        uint64_t canon = code < rc ? code : rc;
+        key1[t] = canon; key2[t] = canon;
+        strand_out[i] = code <= rc ? 1 : 2;
+      } else {
+        key1[t] = code; key2[t] = rc;
+        strand_out[i] = 1;
+      }
+      uint64_t h = bij2k(key1[t], m1a, m1b, w);
+      row[t] = h & mask;
+      fp[t] = h >> lb;
+      __builtin_prefetch(fp_tf + row[t] * 2, 0, 1);
+    }
+    int64_t np_ = 0;
+    for (int64_t t = 0; t < bn; ++t) {
+      int64_t i = b0 + t;
+      if (key1[t] == ~0ULL) continue;
+      const uint32_t* c = fp_tf + row[t] * 2;
+      if (c[0] == (uint32_t)fp[t]) {
+        tf_out[i] = c[1]; slot_out[i] = slot_col[row[t]];
+      } else {
+        pend[np_] = t;
+        uint64_t h = bij2k(key1[t], m2a, m2b, w);
+        row[t] = (h & mask) + m;
+        fp[t] = h >> lb;
+        __builtin_prefetch(fp_tf + row[t] * 2, 0, 1);
+        ++np_;
+      }
+    }
+    int64_t nmiss = 0;
+    for (int64_t p = 0; p < np_; ++p) {
+      int64_t t = pend[p];
+      int64_t i = b0 + t;
+      const uint32_t* c = fp_tf + row[t] * 2;
+      if (c[0] == (uint32_t)fp[t]) {
+        tf_out[i] = c[1]; slot_out[i] = slot_col[row[t]];
+      } else if (!canonical_keys && key2[t] != key1[t]) {
+        pend[nmiss] = t;
+        uint64_t h = bij2k(key2[t], m1a, m1b, w);
+        row[t] = h & mask;
+        fp[t] = h >> lb;
+        __builtin_prefetch(fp_tf + row[t] * 2, 0, 1);
+        ++nmiss;
+      } else {
+        tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+      }
+    }
+    for (int round = 0; round < 2 && nmiss; ++round) {
+      int64_t nm2 = 0;
+      for (int64_t p = 0; p < nmiss; ++p) {
+        int64_t t = pend[p];
+        int64_t i = b0 + t;
+        const uint32_t* c = fp_tf + row[t] * 2;
+        if (c[0] == (uint32_t)fp[t]) {
+          tf_out[i] = c[1]; slot_out[i] = slot_col[row[t]];
+          strand_out[i] = 2;
+        } else if (round == 0) {
+          pend[nm2] = t;
+          uint64_t h = bij2k(key2[t], m2a, m2b, w);
+          row[t] = (h & mask) + m;
+          fp[t] = h >> lb;
+          __builtin_prefetch(fp_tf + row[t] * 2, 0, 1);
+          ++nm2;
+        } else {
+          tf_out[i] = 0; slot_out[i] = -1; strand_out[i] = 0;
+        }
+      }
+      nmiss = nm2;
+    }
+  }
+}
+
+int64_t sparse_query_ascii_quot(
+    const uint8_t* raw, int64_t n, int32_t k, int32_t canonical_keys,
+    const uint32_t* fp_tf, const int32_t* slot_col, uint64_t m, int32_t lb,
+    int32_t w, uint64_t m1a, uint64_t m1b, uint64_t m2a, uint64_t m2b,
+    int32_t nthreads, uint32_t* tf_out, int32_t* slot_out,
+    int32_t* strand_out) {
+  int T = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (n < 1 << 16) T = 1;
+  if (T == 1) {
+    sparse_query_range_quot(raw, 0, n, k, canonical_keys, fp_tf, slot_col,
+                            m, lb, w, m1a, m1b, m2a, m2b, tf_out, slot_out,
+                            strand_out);
+    return n;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (n + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t lo = (int64_t)t * per;
+    int64_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(sparse_query_range_quot, raw, lo, hi, k,
+                         canonical_keys, fp_tf, slot_col, m, lb, w, m1a,
+                         m1b, m2a, m2b, tf_out, slot_out, strand_out);
   }
   for (auto& th : threads) th.join();
   return n;

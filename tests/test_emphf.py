@@ -85,6 +85,24 @@ class TestEmphfReader:
             a, b, c = jenkins_triple_codes(codes, k, seed=12345)
             assert a.shape == (64,) and b.dtype == np.uint64 and c.dtype == np.uint64
 
+    def test_jenkins_numpy_native_parity_block_path(self):
+        """The numpy and native-C Jenkins twins must agree bit for bit on
+        the >=24-byte block path too (the 64-element batches above stay
+        under the 65536-element native dispatch threshold, so this is the
+        only direct cross-check of that path)."""
+        from aindex_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(11)
+        for k in (24, 31, 32):
+            hi = (1 << (2 * k)) if k < 32 else (1 << 63)
+            codes = rng.integers(0, hi, size=257, dtype=np.int64
+                                 ).astype(np.uint64)
+            np_trip = jenkins_triple_codes(codes, k, seed=987654321)
+            c_trip = native.jenkins_triple_codes(codes, k, 987654321)
+            for a, b in zip(np_trip, c_trip):
+                np.testing.assert_array_equal(a, b)
+
 
 class TestEmphfExactBuild:
     def test_rebuilds_golden_pf_byte_identical(self, golden_dat, tmp_path):

@@ -168,6 +168,23 @@ class TestGzipInputs:
             open(gz["reads"], "rb").read()
         assert open(plain["ridx"]).read() == open(gz["ridx"]).read()
 
+    def test_reads_multi_input_aliasing_output_raises(self, tmp_path):
+        """read_type='reads' with multiple inputs streams lines while
+        writing the output .reads file; an input list that includes the
+        output must raise instead of corrupting it (ADVICE r4)."""
+        a = tmp_path / "a.txt"
+        a.write_text("ACGT\nTTTT\n")
+        out_reads = tmp_path / "out.reads"
+        out_reads.write_text("GGGG\n")
+        with pytest.raises(ValueError, match="only input"):
+            io_fastq.compute_reads([str(a), str(out_reads)], None, "reads",
+                                   str(tmp_path / "out"), use_native=False)
+        # the single-input in-place form must keep working
+        res = io_fastq.compute_reads([str(out_reads)], None, "reads",
+                                     str(tmp_path / "out"), use_native=False)
+        assert res["n_reads"] == 1
+        assert out_reads.read_text() == "GGGG\n"
+
     def test_sniff_and_read_gz_fasta(self, tmp_path):
         import gzip
         fa = f"{DATA}/test.fasta"

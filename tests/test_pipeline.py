@@ -138,6 +138,15 @@ class TestExternalCounter:
         with pytest.raises(ValueError, match="non-ACGT"):
             load_dat(str(p), 23)
 
+    def test_load_dat_rejects_missing_count_column(self, tmp_path):
+        """A row without a count is a malformed spectrum — it must raise,
+        not admit a zero-tf key (ADVICE r4)."""
+        from aindex_tpu.pipeline.build import load_dat
+        p = tmp_path / "bad.dat"
+        p.write_text("ACGTACGTACGTACGTACGTACG\n")
+        with pytest.raises(ValueError, match="count column"):
+            load_dat(str(p), 23)
+
 
 class TestResume:
     def test_skip_existing_is_noop(self, fasta, tmp_path, caplog):

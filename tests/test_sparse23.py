@@ -372,3 +372,141 @@ class TestCuckoo:
         for t in (nat, py):
             found, tfv, sl = t.lookup_host(keys)
             assert found.all() and (tfv == tf).all() and (sl == slot).all()
+
+
+class TestQuotCuckoo:
+    """Round-5 quotiented 8-byte-row engine (index/quotcuckoo.py)."""
+
+    def test_engine_selected_and_exact(self, built, rng):
+        """For k=23 the quotient engine is always eligible; every stored
+        key resolves exactly, absent keys never match (the fingerprint is
+        a full quotient — exactness is structural, not probabilistic)."""
+        index, golden = built
+        qc = index.quot
+        assert qc is not None
+        found, tf, slot = qc.lookup_host(index.checker_host)
+        assert found.all()
+        assert (tf == index.tf_host).all()
+        assert (np.sort(slot) == np.arange(index.n)).all()
+        assert (slot == np.arange(index.n)).all()
+        absent = np.setdiff1d(
+            rng.integers(0, 1 << 46, size=2000).astype(np.uint64),
+            index.checker_host)
+        f2, t2, s2 = qc.lookup_host(absent)
+        assert not f2.any() and not t2.any() and (s2 == -1).all()
+
+    def test_half_memory_vs_wide(self, built):
+        """The 8-byte rows + slot column cost ~25% less than the wide
+        16-byte layout at equal row count (the point of the redesign)."""
+        index, _ = built
+        from aindex_tpu.index.cuckoo import CuckooTable
+        wide = CuckooTable.build(index.checker_host, index.tf_host,
+                                 np.arange(index.n, dtype=np.int32))
+        qc = index.quot
+        per_row_q = qc.nbytes / (2 * qc.m)
+        per_row_w = wide.table_host.nbytes / (2 * wide.m)
+        assert per_row_q == 12 and per_row_w == 16
+
+    def test_device_kernels_match_host(self, built, rng):
+        import jax.numpy as jnp
+        from aindex_tpu.index.quotcuckoo import quot_query, quot_query_tf
+        index, _ = built
+        qc = index.quot
+        mixed = np.concatenate([
+            index.checker_host,
+            rng.integers(0, 1 << 46, size=512).astype(np.uint64)])
+        found, tf, slot = qc.lookup_host(mixed)
+        dtf, dslot = quot_query(qc.device, qc.slot_device,
+                                jnp.asarray(mixed), None, *qc.mults,
+                                m=qc.m, lb=qc.lb, w=qc.w)
+        assert (np.asarray(dtf) == tf).all()
+        assert (np.asarray(dslot) == slot).all()
+        dtf2 = quot_query_tf(qc.device, jnp.asarray(mixed), None, *qc.mults,
+                             m=qc.m, lb=qc.lb, w=qc.w)
+        assert (np.asarray(dtf2) == tf).all()
+
+    def test_fused_canonical_kernel(self, built, rng):
+        """quot_tf_canonical (the one-dispatch codes-in path) must equal
+        the canonicalise-then-probe composition for literal codes of both
+        strands."""
+        import jax.numpy as jnp
+        from aindex_tpu.core import codec
+        from aindex_tpu.index.quotcuckoo import quot_tf_canonical
+        index, golden = built
+        qc = index.quot
+        lit = np.array([codec.encode_kmer(km) for km in golden][:200],
+                       dtype=np.uint64)
+        rc = codec.revcomp_code(lit, 23)
+        for codes in (lit, rc):
+            out = quot_tf_canonical(qc.device, jnp.asarray(codes), None,
+                                    *qc.mults, k=23, m=qc.m, lb=qc.lb, w=qc.w)
+            canon = codec.canonical_code(codes, 23)
+            _, tf_h, _ = qc.lookup_host(canon)
+            assert (np.asarray(out) == tf_h).all()
+
+    def test_python_fallback_build_matches_native(self, built):
+        from aindex_tpu.index.quotcuckoo import QuotCuckoo
+        from aindex_tpu import native as native_mod
+        index, _ = built
+        if not native_mod.available():
+            pytest.skip("native unavailable")
+        keys = index.checker_host[:400]
+        tf = index.tf_host[:400]
+        slot = np.arange(400, dtype=np.int32)
+        nat = QuotCuckoo.build(keys, tf, slot, 23)
+        import unittest.mock as mock
+        with mock.patch.object(native_mod, "available", return_value=False):
+            py = QuotCuckoo.build(keys, tf, slot, 23)
+        assert (nat.fp_tf_host == py.fp_tf_host).all()
+        assert (nat.slot_host == py.slot_host).all()
+        for t in (nat, py):
+            found, tfv, sl = t.lookup_host(keys)
+            assert found.all() and (tfv == tf.astype(np.uint32)).all() \
+                and (sl == slot).all()
+
+    def test_native_ascii_quot_parity(self, built):
+        """The fused C pass (encode + canonical + quotient probes) must
+        match the numpy host mirror on present + absent + invalid kmers."""
+        from aindex_tpu import native as native_mod
+        from aindex_tpu.core import codec
+        index, golden = built
+        if not native_mod.available():
+            pytest.skip("native unavailable")
+        qc = index.quot
+        kms = list(golden)[:300]
+        kms += [codec.revcomp(km) for km in kms[:50]]
+        kms += ["A" * 23, "ACGTN" + "A" * 18, "G" * 23]
+        raw = "".join(kms).encode()
+        out = native_mod.sparse_query_ascii_quot(
+            raw, len(kms), 23, True, qc.fp_tf_host, qc.slot_host,
+            qc.m, qc.lb, qc.w, qc.mults)
+        assert out is not None
+        tf_c, slot_c, strand_c = out
+        codes, valid = codec.encode_kmers(kms, 23)
+        tf_h, slot_h, strand_h = index._resolve_host(codes, valid)
+        assert (tf_c == tf_h).all()
+        assert (slot_c == slot_h).all()
+        assert (strand_c == strand_h).all()
+
+
+class TestReferenceKeyedBothDirections:
+    def test_distinct_strand_counts_resolve_independently(self, rng):
+        """canonical_keys=False indexes may store BOTH strands with
+        different counts; get_tf_both_directions must then return
+        (tf[kmer], tf[revcomp]), not (tf, tf) (ADVICE r4)."""
+        from aindex_tpu.core import codec
+        fwd = "ACGTACGTACGTACGTACGTACG"
+        rc = codec.revcomp(fwd)
+        other = "CCCCCCCCCCCCCCCCCCCCCCA"
+        keys = np.array([codec.encode_kmer(fwd), codec.encode_kmer(rc),
+                         codec.encode_kmer(other)], dtype=np.uint64)
+        order = np.argsort(keys)
+        keys = keys[order]
+        tf = np.array([7, 3, 5], dtype=np.uint64)[order]
+        index = Sparse23Index.from_spectrum(keys, tf, 23)
+        index.canonical_keys = False  # simulate a reference-keyed load
+        f, r = index.get_tf_both_directions([fwd, rc, other])
+        assert list(f) == [7, 3, 5]
+        # the second probe also applies the reference's fwd-else-rc rule,
+        # so `other`'s unstored revcomp falls back to `other` itself
+        assert list(r) == [3, 7, 5]
