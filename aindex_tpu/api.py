@@ -71,6 +71,10 @@ class AIndex:
             else:
                 from aindex_tpu.parallel.query23 import ShardedSparse23
                 self._sharded23 = ShardedSparse23(self.sparse23, mesh)
+                # free the unsharded device replicas: after this, per-device
+                # HBM holds only this host's shard (+ the tiny replicated
+                # g-values); host arrays stay for save/iteration/stats
+                self.sparse23.release_device()
         if self.dense13 is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
@@ -373,6 +377,15 @@ class AIndex:
         return None
 
     @property
+    def _engine23(self):
+        """Active sparse query engine: the mesh-sharded one after
+        shard_to(), else the single-device index. Every query family is
+        served sharded (tf, both-directions, De Bruijn, coverage, pfid/
+        hash/strand resolution) — only host-array consumers (save, stats,
+        iteration, kid->kmer decode) read the unsharded host arrays."""
+        return self._sharded23 if self._sharded23 is not None else self.sparse23
+
+    @property
     def aindex_loaded(self) -> bool:
         return self.pos13 is not None or self.pos23 is not None
 
@@ -445,7 +458,7 @@ class AIndex:
 
     def get_tf_values_23mer(self, kmers: List[str]) -> List[int]:
         self._require(self.sparse23, "23-mer index")
-        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        engine = self._engine23
         return [int(v) for v in engine.get_tf_values(kmers)]
 
     def get_total_tf_value_23mer(self, kmer: str) -> int:
@@ -457,7 +470,7 @@ class AIndex:
 
     def get_total_tf_values_23mer(self, kmers: List[str]) -> List[int]:
         self._require(self.sparse23, "23-mer index")
-        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        engine = self._engine23
         return [2 * int(v) for v in engine.get_tf_values(kmers)]
 
     # codes-in queries: device array in -> device uint32 array out. The
@@ -477,7 +490,7 @@ class AIndex:
         self._require(self.sparse23, "23-mer index")
         # same engine routing as the ASCII paths: a shard_to()'d index
         # serves from the slot-sharded tables, never the unsharded copy
-        engine = self._sharded23 if self._sharded23 is not None else self.sparse23
+        engine = self._engine23
         return engine.get_tf_values_codes(codes, valid)
 
     def get_reverse_complement_13mer(self, kmer: str) -> str:
@@ -488,12 +501,12 @@ class AIndex:
 
     def get_tf_both_directions_23mer(self, kmer: str) -> Tuple[int, int]:
         self._require(self.sparse23, "23-mer index")
-        fwd, rc = self.sparse23.get_tf_both_directions([kmer])
+        fwd, rc = self._engine23.get_tf_both_directions([kmer])
         return int(fwd[0]), int(rc[0])
 
     def get_tf_both_directions_23mer_batch(self, kmers: List[str]) -> List[Tuple[int, int]]:
         self._require(self.sparse23, "23-mer index")
-        fwd, rc = self.sparse23.get_tf_both_directions(kmers)
+        fwd, rc = self._engine23.get_tf_both_directions(kmers)
         return list(zip(fwd.tolist(), rc.tolist()))
 
     # dict protocol (aindex/core/aindex.py:249-264)
@@ -517,11 +530,11 @@ class AIndex:
 
     def get_hash_value(self, kmer: str) -> int:
         self._require(self.sparse23, "23-mer index")
-        return int(self.sparse23.get_hash_values([kmer])[0])
+        return int(self._engine23.get_hash_values([kmer])[0])
 
     def get_hash_values(self, kmers: List[str]) -> List[int]:
         self._require(self.sparse23, "23-mer index")
-        return [int(v) for v in self.sparse23.get_hash_values(kmers)]
+        return [int(v) for v in self._engine23.get_hash_values(kmers)]
 
     def get_hash_size(self) -> int:
         if not self._loaded:
@@ -532,7 +545,7 @@ class AIndex:
         """Verified slot of kmer or its revcomp; 0 when absent
         (/root/reference/src/python_wrapper.cpp:700-716)."""
         self._require(self.sparse23, "23-mer index")
-        pfid = int(self.sparse23.get_pfids([kmer])[0])
+        pfid = int(self._engine23.get_pfids([kmer])[0])
         return 0 if pfid >= self.sparse23.n else pfid
 
     def get_kmer_by_kid(self, kid: int) -> str:
@@ -541,7 +554,7 @@ class AIndex:
 
     def get_strand(self, kmer: str) -> Strand:
         self._require(self.sparse23, "23-mer index")
-        return Strand(int(self.sparse23.get_strands([kmer])[0]))
+        return Strand(int(self._engine23.get_strands([kmer])[0]))
 
     def get_kmer_info(self, kid: int) -> Tuple[str, str, int]:
         """(kmer, rkmer, tf) — aindex/core/aindex.py:196-208."""
@@ -566,7 +579,7 @@ class AIndex:
             return self.pos13, code
         if self.pos23 is not None and self.sparse23 is not None \
                 and len(kmer) == self.sparse23.k:
-            pfid = int(self.sparse23.get_pfids([kmer])[0])
+            pfid = int(self._engine23.get_pfids([kmer])[0])
             if pfid >= self.sparse23.n:
                 return None
             return self.pos23, pfid
@@ -611,7 +624,7 @@ class AIndex:
             pindex = self.pos13
         elif self.pos23 is not None and self.sparse23 is not None \
                 and k0 == self.sparse23.k:
-            slots = self.sparse23.get_pfids(kmers).astype(np.int64)
+            slots = self._engine23.get_pfids(kmers).astype(np.int64)
             slots = np.where(slots >= self.sparse23.n, -1, slots)
             pindex = self.pos23
         else:
@@ -628,20 +641,23 @@ class AIndex:
         self._require(self.reads, "reads")
         return self.reads.start_by_pos(pos)
 
-    def get_rid2poses(self, kmer: str) -> Dict[int, List[int]]:
+    def get_rid2poses(self, kmer: str,
+                      max_tf: Optional[int] = None) -> Dict[int, List[int]]:
         """kmer -> {rid: [in-read offsets]} (aindex/core/aindex.py:333-341).
 
-        Position fan-out is capped at ``self.max_tf`` (the documented intent
-        of the loader's max_tf argument — the reference wrapper stores it but
-        never consults it, /root/reference/src/python_wrapper.cpp:134,365;
-        here it actually bounds the work of hub k-mers)."""
+        Results are complete by default — hub k-mers return every
+        position, matching the reference (whose wrapper stores max_tf but
+        never consults it, /root/reference/src/python_wrapper.cpp:134,365).
+        Pass ``max_tf`` explicitly to bound the fan-out of hub k-mers
+        (r4 silently applied the loader's max_tf here; silently different
+        results for high-frequency k-mers is a bug report waiting to
+        happen, so the cap is now opt-in)."""
         poses = self.pos(kmer)
-        if self.max_tf and len(poses) > self.max_tf:
+        if max_tf is not None and len(poses) > max_tf:
             logger.warning(
                 "get_rid2poses: hub k-mer with %d positions truncated to "
-                "max_tf=%d (raise max_tf at load time for the full set)",
-                len(poses), self.max_tf)
-            poses = poses[:self.max_tf]
+                "the explicit max_tf=%d", len(poses), max_tf)
+            poses = poses[:max_tf]
         hits: Dict[int, List[int]] = defaultdict(list)
         for p in poses:
             rid = self.get_rid(p)
@@ -762,7 +778,7 @@ class AIndex:
         if k == K13 and self.dense13 is not None:
             return [int(v) for v in self.dense13.sequence_coverage(seq, cutoff)]
         if self.sparse23 is not None and k == self.sparse23.k:
-            return [int(v) for v in self.sparse23.sequence_coverage(seq, cutoff)]
+            return [int(v) for v in self._engine23.sequence_coverage(seq, cutoff)]
         return [0] * max(0, len(seq) - k + 1)
 
     def get_sequence_coverage_batch(self, seqs: List[str], cutoff: int = 0,
@@ -773,7 +789,7 @@ class AIndex:
         if k == K13 and self.dense13 is not None:
             covs = self.dense13.sequence_coverage_batch(seqs, cutoff)
         elif self.sparse23 is not None and k == self.sparse23.k:
-            covs = self.sparse23.sequence_coverage_batch(seqs, cutoff)
+            covs = self._engine23.sequence_coverage_batch(seqs, cutoff)
         else:
             return [[0] * max(0, len(s) - k + 1) for s in seqs]
         return [[int(v) for v in c] for c in covs]
@@ -868,6 +884,34 @@ class AIndex:
         self._require(self.sparse23, "23-mer index")
         return self.sparse23.stats()
 
+    def set_stats(self, coverage: int) -> Dict:
+        """Coverage-profile statistics of the loaded index: zero/unique/
+        distinct/total/max_count + the clamped tf histogram ``profile``
+        (set_stats, /root/reference/src/hash.hpp:297-323). Served by
+        whichever mode is loaded (sparse preferred, as in the reference)."""
+        idx = self.sparse23 if self.sparse23 is not None else self.dense13
+        self._require(idx, "index")
+        return idx.set_stats(coverage)
+
+    def print_and_set_coverage(self, coverage: int) -> str:
+        """The reference's profile print + one-line summary
+        (print_and_set_coverage, /root/reference/src/hash.hpp:337-349)."""
+        from aindex_tpu.core.stats import format_stats
+        s = self.set_stats(coverage)
+        print(" ".join(f"{i}:{int(v)}" for i, v in enumerate(s["profile"])))
+        line = format_stats(s)
+        print(line)
+        return line
+
+    def save_values(self, path: str, skip_zeros: bool = True
+                    ) -> Tuple[int, int, int]:
+        """Slot-ordered ``kmer\\ttf`` text dump of the loaded index;
+        returns (zeros, ones, other) tallies (save_values,
+        /root/reference/src/hash.hpp:261-289)."""
+        idx = self.sparse23 if self.sparse23 is not None else self.dense13
+        self._require(idx, "index")
+        return idx.save_values(path, skip_zeros)
+
     def get_13mer_tf_array(self) -> np.ndarray:
         self._require(self.dense13, "13-mer index")
         return self.dense13.get_tf_array()
@@ -902,12 +946,12 @@ class AIndex:
         """tf of the 4 right extensions, keyed by base
         (/root/reference/src/debrujin.cpp:30-75)."""
         self._require(self.sparse23, "23-mer index")
-        row = self.sparse23.debruijn_next([kmer], cutoff)[0]
+        row = self._engine23.debruijn_next([kmer], cutoff)[0]
         return dict(zip("ACGT", (int(v) for v in row)))
 
     def debruijn_prev(self, kmer: str, cutoff: int = 0) -> Dict[str, int]:
         self._require(self.sparse23, "23-mer index")
-        row = self.sparse23.debruijn_prev([kmer], cutoff)[0]
+        row = self._engine23.debruijn_prev([kmer], cutoff)[0]
         return dict(zip("ACGT", (int(v) for v in row)))
 
     def _cont_dict(self, info: dict, i: int) -> dict:
@@ -926,24 +970,24 @@ class AIndex:
         n, sum, best_hit/best_hit_tf/best_ukmer (reference tie rule: the
         last base in ACGT order among the maxima wins)."""
         self._require(self.sparse23, "23-mer index")
-        return self._cont_dict(self.sparse23.debruijn_next_info([kmer],
+        return self._cont_dict(self._engine23.debruijn_next_info([kmer],
                                                                 cutoff), 0)
 
     def debruijn_prev_info(self, kmer: str, cutoff: int = 0) -> Dict:
         self._require(self.sparse23, "23-mer index")
-        return self._cont_dict(self.sparse23.debruijn_prev_info([kmer],
+        return self._cont_dict(self._engine23.debruijn_prev_info([kmer],
                                                                 cutoff), 0)
 
     def debruijn_next_info_batch(self, kmers: List[str],
                                  cutoff: int = 0) -> List[Dict]:
         self._require(self.sparse23, "23-mer index")
-        info = self.sparse23.debruijn_next_info(kmers, cutoff)
+        info = self._engine23.debruijn_next_info(kmers, cutoff)
         return [self._cont_dict(info, i) for i in range(len(kmers))]
 
     def debruijn_prev_info_batch(self, kmers: List[str],
                                  cutoff: int = 0) -> List[Dict]:
         self._require(self.sparse23, "23-mer index")
-        info = self.sparse23.debruijn_prev_info(kmers, cutoff)
+        info = self._engine23.debruijn_prev_info(kmers, cutoff)
         return [self._cont_dict(info, i) for i in range(len(kmers))]
 
     # ------------------------------------------------------------------

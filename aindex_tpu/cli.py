@@ -226,6 +226,13 @@ def cmd_info(args) -> int:
         stats = (index.get_13mer_statistics() if index.dense13 is not None
                  else index.get_23mer_statistics())
         print(json.dumps(stats, indent=2))
+    if args.coverage:
+        index.print_and_set_coverage(args.coverage)
+    if args.save_values:
+        zeros, ones, other = index.save_values(args.save_values,
+                                               not args.keep_zeros)
+        print(f"\tZeros: {zeros}\n\tOnes: {ones}\n\tOther: {other}")
+        print(f"values saved to: {args.save_values}")
     return 0
 
 
@@ -372,6 +379,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="describe the artifacts at a prefix")
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--coverage", type=int, metavar="N",
+                   help="print the coverage profile histogram + Z/U/D/T/C/M "
+                        "summary (reference print_and_set_coverage)")
+    p.add_argument("--save-values", metavar="FILE",
+                   help="slot-ordered kmer\\ttf text dump (reference "
+                        "save_values)")
+    p.add_argument("--keep-zeros", action="store_true",
+                   help="include zero-tf slots in --save-values")
     p.add_argument("--reads", action="store_true", help="also load reads")
     p.set_defaults(func=cmd_info)
 

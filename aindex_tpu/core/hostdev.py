@@ -139,3 +139,37 @@ def spectrum_reduce_mode() -> str:
     if mode in ("device", "host"):
         return mode
     return "device" if d2h_bandwidth_mbps() >= H2D_THRESHOLD_MBPS else "host"
+
+
+# ---------------------------------------------------------------------------
+# ASCII -> code encode routing
+# ---------------------------------------------------------------------------
+
+ENCODE_ROUTE_ENV = "AINDEX_TPU_DEVICE_ENCODE"
+
+#: batch size from which the device encode engages on fast links: below
+#: this, the ~tens-of-us dispatch round trips outweigh the VPU's encode
+#: advantage over the host's vectorised numpy pipeline.
+DEVICE_ENCODE_MIN_BATCH = 1 << 14
+
+
+def device_encode_min() -> int | None:
+    """Batch size from which ASCII k-mer batches encode ON DEVICE; None =
+    always encode on the host.
+
+    Device encode ships raw ASCII (k bytes/query, ~2.9x the bytes of
+    uint64 codes) and fuses windowing + validation on the VPU — a win
+    exactly when the H2D link is PCIe-class AND device queries are the
+    routed engine anyway. On slow links (this repo's ~40 MB/s tunnel) the
+    extra bytes lose at every batch size, so the policy keys off the same
+    measured-link predicate as the query routing. Override with
+    ``AINDEX_TPU_DEVICE_ENCODE=never|<min batch>``.
+    """
+    mode = os.environ.get(ENCODE_ROUTE_ENV, "auto")
+    if mode == "never":
+        return None
+    if mode.isdigit():
+        return int(mode)
+    if prefer_host_ascii_queries():
+        return None
+    return DEVICE_ENCODE_MIN_BATCH

@@ -53,7 +53,10 @@ class CuckooTable:
     @property
     def device(self) -> jax.Array:
         if self._device is None:
-            self._device = jnp.asarray(self.table_host)
+            # concrete even when first touched inside a jit trace (see
+            # QuotCuckoo.device) — never cache a traced constant
+            with jax.ensure_compile_time_eval():
+                self._device = jnp.asarray(self.table_host)
         return self._device
 
     @classmethod

@@ -281,11 +281,20 @@ class Dense13Index:
     #: (~55 MB/s fenced H2D) that transfer dominates — measured slower than
     #: the host BLAS encode at every batch size. Set on real hosts if
     #: profiling shows otherwise.
-    DEVICE_ENCODE_MIN: int | None = None
+    DEVICE_ENCODE_MIN: int | str | None = "auto"
+
+    def _device_encode_min(self) -> int | None:
+        """Resolved device-encode threshold: class override, or the
+        measured-link policy (core.hostdev.device_encode_min — engages on
+        PCIe-class links, stays host on this repo's ~40 MB/s tunnel)."""
+        if self.DEVICE_ENCODE_MIN == "auto":
+            from aindex_tpu.core.hostdev import device_encode_min
+            return device_encode_min()
+        return self.DEVICE_ENCODE_MIN
 
     def _encode(self, kmers: list[str]):
-        if self.DEVICE_ENCODE_MIN is not None \
-                and len(kmers) >= self.DEVICE_ENCODE_MIN:
+        dmin = self._device_encode_min()
+        if dmin is not None and len(kmers) >= dmin:
             joined = "".join(kmers)
             mat = np.frombuffer(joined.encode("ascii"),
                                 dtype=np.uint8).reshape(-1, K13)
@@ -465,6 +474,21 @@ class Dense13Index:
                                 ) -> list[np.ndarray]:
         """Coverage for many sequences in few device calls (length-bucketed)."""
         return cov_kernels.coverage_dense_batch(self.tf_query, seqs, K13, cutoff)
+
+    def set_stats(self, coverage: int) -> dict:
+        """Coverage-profile statistics over the dense table (set_stats,
+        /root/reference/src/hash.hpp:297-323; code-indexed slots)."""
+        from aindex_tpu.core.stats import coverage_stats
+        return coverage_stats(self.tf_host, coverage)
+
+    def save_values(self, path: str, skip_zeros: bool = True
+                    ) -> tuple[int, int, int]:
+        """Code-ordered ``kmer\\ttf`` text dump; returns (zeros, ones,
+        other) (save_values, /root/reference/src/hash.hpp:261-289 — the
+        dense mode's slot IS the 2-bit code)."""
+        from aindex_tpu.core.stats import save_values
+        codes = np.arange(SPACE_13, dtype=np.uint64)
+        return save_values(path, codes, self.tf_host, K13, skip_zeros)
 
     def stats(self) -> dict:
         """total/non_zero/max/total_count (get_13mer_statistics,

@@ -132,13 +132,18 @@ class QuotCuckoo:
     @property
     def device(self) -> jax.Array:
         if self._device is None:
-            self._device = jnp.asarray(self.fp_tf_host)
+            # concrete even when first touched inside a jit trace (e.g. a
+            # resolve closure inside the mesh positional build) — caching
+            # a traced constant would leak the tracer into later calls
+            with jax.ensure_compile_time_eval():
+                self._device = jnp.asarray(self.fp_tf_host)
         return self._device
 
     @property
     def slot_device(self) -> jax.Array:
         if self._slot_device is None:
-            self._slot_device = jnp.asarray(self.slot_host)
+            with jax.ensure_compile_time_eval():
+                self._slot_device = jnp.asarray(self.slot_host)
         return self._slot_device
 
     @property

@@ -156,7 +156,116 @@ def count_canonical_kmers_stream(pieces, k: int = K23, chunk: int = 1 << 22,
     return merge_spectra(parts)
 
 
-class Sparse23Index:
+class SharedQueryOps:
+    """Coverage + continuation-query surface shared by the single-device
+    index and the mesh-sharded engine (parallel/query23.py). Requires
+    ``self.k``, ``self._encode(kmers)``, ``self._ext_tf(ext_codes,
+    cutoff)`` and ``self._resolve_tf_device(codes, valid)``."""
+    # -- coverage (requires self._resolve_tf_device) -----------------------
+
+    def sequence_coverage(self, seq: str, cutoff: int = 0) -> np.ndarray:
+        ascii_u8 = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+        if ascii_u8.size < self.k:
+            return np.zeros(0, dtype=np.uint32)
+        return self._coverage_ascii(ascii_u8[None, :], cutoff)[0]
+
+    def _coverage_ascii(self, mat: np.ndarray, cutoff: int) -> np.ndarray:
+        """Coverage over [B, L] ASCII rows: windows -> verified query ->
+        cutoff (batched analogue of get_sequence_coverage over
+        get_tf_value, /root/reference/src/hash.hpp:123-140)."""
+        codes, valid = _extract_windows(jnp.asarray(mat), self.k)
+        shape = codes.shape
+        tf = self._resolve_tf_device(codes.reshape(-1), valid.reshape(-1))
+        tf = tf.reshape(shape)
+        if cutoff:
+            tf = jnp.where(tf >= jnp.uint32(cutoff), tf, jnp.zeros((), tf.dtype))
+        return np.asarray(tf)
+
+    def sequence_coverage_batch(self, seqs: list[str], cutoff: int = 0
+                                ) -> list[np.ndarray]:
+        """Coverage for many sequences in few device calls (length-bucketed)."""
+        out = [None] * len(seqs)
+        buckets = {}
+        for i, s in enumerate(seqs):
+            if len(s) < self.k:
+                out[i] = np.zeros(0, dtype=np.uint32)
+            else:
+                buckets.setdefault(cov_kernels._length_bucket(len(s), self.k),
+                                   []).append(i)
+        for blen, members in buckets.items():
+            rows = 8
+            while rows < len(members):
+                rows <<= 1
+            mat = np.full((rows, blen), ord("\n"), dtype=np.uint8)
+            for row, i in enumerate(members):
+                enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+                mat[row, :len(enc)] = enc
+            cov = self._coverage_ascii(mat, cutoff)
+            for row, i in enumerate(members):
+                out[i] = cov[row, :len(seqs[i]) - self.k + 1]
+        return out
+
+    # -- De Bruijn continuation queries ------------------------------------
+
+    def debruijn_next(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
+        """tf of the 4 right extensions of each k-mer, shape (B, 4) in ACGT
+        order (/root/reference/src/debrujin.cpp:30-75). cutoff zeroes counts
+        <= cutoff, as in the reference (:44-49)."""
+        codes, _ = self._encode(kmers)
+        mask = np.uint64((1 << (2 * self.k)) - 1)
+        ext = ((codes[:, None] << np.uint64(2)) | np.arange(4, dtype=np.uint64)) & mask
+        return self._ext_tf(ext, cutoff)
+
+    def debruijn_prev(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
+        """tf of the 4 left extensions, shape (B, 4) in ACGT order
+        (/root/reference/src/debrujin.cpp:120-170)."""
+        codes, _ = self._encode(kmers)
+        shift = np.uint64(2 * (self.k - 1))
+        ext = (codes[:, None] >> np.uint64(2)) | (np.arange(4, dtype=np.uint64) << shift)
+        return self._ext_tf(ext, cutoff)
+
+    def _cont_info(self, ext_codes: np.ndarray, cutoff: int) -> dict:
+        """Batched CONT record (/root/reference/src/debrujin.hpp:14-34):
+        per k-mer the 4 extension tfs plus n (nonzero count), sum, and the
+        best hit. The reference's if-chain takes the LAST base in ACGT
+        order among the maxima (debrujin.cpp:56-75: every comparison is
+        >=, later ifs overwrite), so ties resolve toward T — reproduced
+        exactly, including the all-zero case (best_hit = 'T', tf 0)."""
+        tf = self._ext_tf(ext_codes, cutoff).astype(np.uint32)
+        best = 3 - np.argmax(tf[:, ::-1], axis=1)  # last argmax in ACGT
+        rows = np.arange(tf.shape[0])
+        return {
+            "tf": tf,
+            "n": (tf > 0).sum(axis=1).astype(np.uint32),
+            "sum": tf.sum(axis=1, dtype=np.uint64).astype(np.uint32),
+            "best_hit": np.array(list("ACGT"))[best],
+            "best_hit_tf": tf[rows, best],
+            "best_ukmer": ext_codes[rows, best].astype(np.uint64),
+        }
+
+    def debruijn_next_info(self, kmers: list[str], cutoff: int = 0) -> dict:
+        """print_next's full CONT, batched
+        (/root/reference/src/debrujin.cpp:30-76): dict of arrays ``tf``
+        [B, 4] in ACGT order, ``n``, ``sum``, ``best_hit`` (char),
+        ``best_hit_tf``, ``best_ukmer`` (the 2-bit code of the winning
+        right extension)."""
+        codes, _ = self._encode(kmers)
+        mask = np.uint64((1 << (2 * self.k)) - 1)
+        ext = ((codes[:, None] << np.uint64(2))
+               | np.arange(4, dtype=np.uint64)) & mask
+        return self._cont_info(ext, cutoff)
+
+    def debruijn_prev_info(self, kmers: list[str], cutoff: int = 0) -> dict:
+        """print_prev's full CONT, batched
+        (/root/reference/src/debrujin.cpp:120-167; its shift is hardcoded
+        to k=23 — generalised to this index's k)."""
+        codes, _ = self._encode(kmers)
+        shift = np.uint64(2 * (self.k - 1))
+        ext = (codes[:, None] >> np.uint64(2)) | (
+            np.arange(4, dtype=np.uint64) << shift)
+        return self._cont_info(ext, cutoff)
+
+class Sparse23Index(SharedQueryOps):
     """Sparse canonical k-mer index (default k=23) with device-side queries."""
 
     def __init__(self, mphf, checker: np.ndarray, tf: np.ndarray, k: int = K23):
@@ -299,6 +408,10 @@ class Sparse23Index:
         Falls back to the full _resolve_device for reference-keyed indexes
         (their fwd-else-rc rule needs per-probe hit flags) and for
         quot-ineligible (n, k)."""
+        if getattr(self, "_device_released", False):
+            raise RuntimeError(
+                "device arrays were released by shard_to(); query through "
+                "the sharded engine (AIndex facade) or the host paths")
         qc = self.quot if self.canonical_keys else None
         if qc is None:
             tf, _, _ = self._resolve_device(codes, valid)
@@ -355,7 +468,30 @@ class Sparse23Index:
         strand = np.where(hit_f, 1, np.where(slot_r >= 0, 2, 0)).astype(np.int32)
         return tf, slot, strand
 
+    def release_device(self) -> None:
+        """Drop every device-resident array (MPHF walk tables, checker/tf
+        replicas, quot/cuckoo query tables) and pin the device paths shut.
+
+        Called by AIndex.shard_to once the mesh-sharded engine owns the
+        queries: without this, every host would keep a full replica of the
+        index in HBM and sharding would save nothing. Host arrays stay
+        (save/iteration/stats and the host ASCII engines still work)."""
+        self.checker = None
+        self.tf = None
+        self.g_packed = None
+        self.slots = None
+        if self._quot is not None:
+            self._quot._device = None
+            self._quot._slot_device = None
+        if self._cuckoo is not None:
+            self._cuckoo._device = None
+        self._device_released = True
+
     def _resolve_device(self, codes, valid):
+        if getattr(self, "_device_released", False):
+            raise RuntimeError(
+                "device arrays were released by shard_to(); query through "
+                "the sharded engine (AIndex facade) or the host paths")
         from aindex_tpu.kernels.encode import revcomp_code64
         codes_j = jnp.asarray(codes).astype(jnp.uint64)
         valid_j = None if valid is None else jnp.asarray(valid)
@@ -479,15 +615,22 @@ class Sparse23Index:
 
     # -- encoding helpers --------------------------------------------------
 
-    #: batch size from which string->code encoding moves to the device.
-    #: None = always host (see Dense13Index.DEVICE_ENCODE_MIN: raw-ASCII
-    #: H2D is 2.9x the bytes of uint64 codes and loses on the tunneled dev
-    #: chip; enable on real PCIe-attached hosts if profiling says so).
-    DEVICE_ENCODE_MIN: int | None = None
+    #: batch size from which string->code encoding moves to the device;
+    #: "auto" resolves from the measured link (core.hostdev
+    #: .device_encode_min: engages on PCIe-class links, stays host on this
+    #: repo's ~40 MB/s tunnel where raw-ASCII H2D at 2.9x the bytes of
+    #: uint64 codes loses at every batch size). None = always host.
+    DEVICE_ENCODE_MIN: int | str | None = "auto"
+
+    def _device_encode_min(self) -> int | None:
+        if self.DEVICE_ENCODE_MIN == "auto":
+            from aindex_tpu.core.hostdev import device_encode_min
+            return device_encode_min()
+        return self.DEVICE_ENCODE_MIN
 
     def _encode(self, kmers: list[str]):
-        if self.DEVICE_ENCODE_MIN is not None \
-                and len(kmers) >= self.DEVICE_ENCODE_MIN:
+        dmin = self._device_encode_min()
+        if dmin is not None and len(kmers) >= dmin:
             joined = "".join(kmers)
             mat = np.frombuffer(joined.encode("ascii"),
                                 dtype=np.uint8).reshape(-1, self.k)
@@ -588,66 +731,7 @@ class Sparse23Index:
         rkmer = codec.decode_kmer(codec.revcomp_code(code, self.k), self.k)
         return int(self.tf_host[kid]), kmer, rkmer
 
-    def sequence_coverage(self, seq: str, cutoff: int = 0) -> np.ndarray:
-        ascii_u8 = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
-        if ascii_u8.size < self.k:
-            return np.zeros(0, dtype=np.uint32)
-        return self._coverage_ascii(ascii_u8[None, :], cutoff)[0]
-
-    def _coverage_ascii(self, mat: np.ndarray, cutoff: int) -> np.ndarray:
-        """Coverage over [B, L] ASCII rows: windows -> verified query ->
-        cutoff (batched analogue of get_sequence_coverage over
-        get_tf_value, /root/reference/src/hash.hpp:123-140)."""
-        codes, valid = _extract_windows(jnp.asarray(mat), self.k)
-        shape = codes.shape
-        tf = self._resolve_tf_device(codes.reshape(-1), valid.reshape(-1))
-        tf = tf.reshape(shape)
-        if cutoff:
-            tf = jnp.where(tf >= jnp.uint32(cutoff), tf, jnp.zeros((), tf.dtype))
-        return np.asarray(tf)
-
-    def sequence_coverage_batch(self, seqs: list[str], cutoff: int = 0
-                                ) -> list[np.ndarray]:
-        """Coverage for many sequences in few device calls (length-bucketed)."""
-        out = [None] * len(seqs)
-        buckets = {}
-        for i, s in enumerate(seqs):
-            if len(s) < self.k:
-                out[i] = np.zeros(0, dtype=np.uint32)
-            else:
-                buckets.setdefault(cov_kernels._length_bucket(len(s), self.k),
-                                   []).append(i)
-        for blen, members in buckets.items():
-            rows = 8
-            while rows < len(members):
-                rows <<= 1
-            mat = np.full((rows, blen), ord("\n"), dtype=np.uint8)
-            for row, i in enumerate(members):
-                enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
-                mat[row, :len(enc)] = enc
-            cov = self._coverage_ascii(mat, cutoff)
-            for row, i in enumerate(members):
-                out[i] = cov[row, :len(seqs[i]) - self.k + 1]
-        return out
-
     # -- De Bruijn continuation queries ------------------------------------
-
-    def debruijn_next(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
-        """tf of the 4 right extensions of each k-mer, shape (B, 4) in ACGT
-        order (/root/reference/src/debrujin.cpp:30-75). cutoff zeroes counts
-        <= cutoff, as in the reference (:44-49)."""
-        codes, _ = self._encode(kmers)
-        mask = np.uint64((1 << (2 * self.k)) - 1)
-        ext = ((codes[:, None] << np.uint64(2)) | np.arange(4, dtype=np.uint64)) & mask
-        return self._ext_tf(ext, cutoff)
-
-    def debruijn_prev(self, kmers: list[str], cutoff: int = 0) -> np.ndarray:
-        """tf of the 4 left extensions, shape (B, 4) in ACGT order
-        (/root/reference/src/debrujin.cpp:120-170)."""
-        codes, _ = self._encode(kmers)
-        shift = np.uint64(2 * (self.k - 1))
-        ext = (codes[:, None] >> np.uint64(2)) | (np.arange(4, dtype=np.uint64) << shift)
-        return self._ext_tf(ext, cutoff)
 
     def _ext_tf(self, ext_codes: np.ndarray, cutoff: int) -> np.ndarray:
         flat = ext_codes.reshape(-1)
@@ -657,46 +741,21 @@ class Sparse23Index:
             tf = np.where(tf <= cutoff, 0, tf)
         return tf
 
-    def _cont_info(self, ext_codes: np.ndarray, cutoff: int) -> dict:
-        """Batched CONT record (/root/reference/src/debrujin.hpp:14-34):
-        per k-mer the 4 extension tfs plus n (nonzero count), sum, and the
-        best hit. The reference's if-chain takes the LAST base in ACGT
-        order among the maxima (debrujin.cpp:56-75: every comparison is
-        >=, later ifs overwrite), so ties resolve toward T — reproduced
-        exactly, including the all-zero case (best_hit = 'T', tf 0)."""
-        tf = self._ext_tf(ext_codes, cutoff).astype(np.uint32)
-        best = 3 - np.argmax(tf[:, ::-1], axis=1)  # last argmax in ACGT
-        rows = np.arange(tf.shape[0])
-        return {
-            "tf": tf,
-            "n": (tf > 0).sum(axis=1).astype(np.uint32),
-            "sum": tf.sum(axis=1, dtype=np.uint64).astype(np.uint32),
-            "best_hit": np.array(list("ACGT"))[best],
-            "best_hit_tf": tf[rows, best],
-            "best_ukmer": ext_codes[rows, best].astype(np.uint64),
-        }
 
-    def debruijn_next_info(self, kmers: list[str], cutoff: int = 0) -> dict:
-        """print_next's full CONT, batched
-        (/root/reference/src/debrujin.cpp:30-76): dict of arrays ``tf``
-        [B, 4] in ACGT order, ``n``, ``sum``, ``best_hit`` (char),
-        ``best_hit_tf``, ``best_ukmer`` (the 2-bit code of the winning
-        right extension)."""
-        codes, _ = self._encode(kmers)
-        mask = np.uint64((1 << (2 * self.k)) - 1)
-        ext = ((codes[:, None] << np.uint64(2))
-               | np.arange(4, dtype=np.uint64)) & mask
-        return self._cont_info(ext, cutoff)
+    def set_stats(self, coverage: int) -> dict:
+        """Coverage-profile statistics record: zero/unique/distinct/total/
+        max_count plus the clamped tf histogram ``profile`` (set_stats,
+        /root/reference/src/hash.hpp:297-323)."""
+        from aindex_tpu.core.stats import coverage_stats
+        return coverage_stats(self.tf_host, coverage)
 
-    def debruijn_prev_info(self, kmers: list[str], cutoff: int = 0) -> dict:
-        """print_prev's full CONT, batched
-        (/root/reference/src/debrujin.cpp:120-167; its shift is hardcoded
-        to k=23 — generalised to this index's k)."""
-        codes, _ = self._encode(kmers)
-        shift = np.uint64(2 * (self.k - 1))
-        ext = (codes[:, None] >> np.uint64(2)) | (
-            np.arange(4, dtype=np.uint64) << shift)
-        return self._cont_info(ext, cutoff)
+    def save_values(self, path: str, skip_zeros: bool = True
+                    ) -> tuple[int, int, int]:
+        """Slot-ordered ``kmer\\ttf`` text dump; returns (zeros, ones,
+        other) tallies (save_values, /root/reference/src/hash.hpp:261-289)."""
+        from aindex_tpu.core.stats import save_values
+        return save_values(path, self.checker_host, self.tf_host, self.k,
+                           skip_zeros)
 
     def stats(self) -> dict:
         """zero/unique/distinct/total/max spectrum statistics

@@ -119,3 +119,23 @@ def mphf_lookup(g_packed: jax.Array, slots: jax.Array, keys: jax.Array,
     v = (gval(n0) + gval(n1) + gval(n2)) % 3
     node = jnp.where(v == 0, n0, jnp.where(v == 1, n1, n2))
     return slots[node.astype(jnp.int32)]
+
+
+def mphf_owner_node(g_packed: jax.Array, keys: jax.Array, seed: jax.Array,
+                    domain: jax.Array) -> jax.Array:
+    """Owner node per key WITHOUT the node->slot gather (int32).
+
+    The sharded query engine shards the node->slot table by node range
+    (parallel/query23.py) — only the 2-bit g-values (~1 bit/key) stay
+    replicated, so per-device index memory actually falls with mesh size.
+    """
+    n0, n1, n2 = hash_triple(keys, seed, domain)
+
+    def gval(node):
+        word = g_packed[(node >> jnp.uint64(4)).astype(jnp.int32)]
+        shift = ((node & jnp.uint64(15)) * jnp.uint64(2)).astype(jnp.uint32)
+        return (word >> shift) & jnp.uint32(3)
+
+    v = (gval(n0) + gval(n1) + gval(n2)) % 3
+    node = jnp.where(v == 0, n0, jnp.where(v == 1, n1, n2))
+    return node.astype(jnp.int32)

@@ -176,18 +176,19 @@ class TestParityTail:
         with pytest.raises(ValueError, match="mixed"):
             idx13.get_tf_values(["A" * 13, "A" * 23])
 
-    def test_max_tf_caps_rid2poses(self, reads):
+    def test_rid2poses_complete_by_default_cap_opt_in(self, reads):
+        """Hub k-mers return EVERY position unless the caller passes an
+        explicit max_tf (r4 silently applied the loader's max_tf; the cap
+        is now opt-in per call)."""
         # duplicate one read many times so its k-mers have high fan-out
         many = [reads[0]] * 50
         idx = AIndex.build_from_sequences(many, kmer_size=23)
         km = reads[0][:23]
+        idx.max_tf = 7  # the loader's stored value must NOT truncate
         full = idx.get_rid2poses(km)
         assert sum(len(v) for v in full.values()) == 50
-        idx.max_tf = 7
-        capped = idx.get_rid2poses(km)
+        capped = idx.get_rid2poses(km, max_tf=7)
         assert sum(len(v) for v in capped.values()) == 7
-        idx.max_tf = 0  # 0 = uncapped
-        assert idx.get_rid2poses(km) == full
 
     def test_debug_kmer_tf_values(self, idx13, idx23):
         # probe the slots that actually exist in these tiny indexes

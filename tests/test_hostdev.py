@@ -114,3 +114,51 @@ def test_bandwidth_probe_caches():
     a = hostdev.h2d_bandwidth_mbps()
     b = hostdev.h2d_bandwidth_mbps()
     assert a == b and a > 0
+
+
+class TestEncodeRoutePolicy:
+    """Round-5: DEVICE_ENCODE_MIN resolves from the measured link instead
+    of a hard-coded None — device encode engages on PCIe-class links
+    without code edits, stays host on slow tunnels."""
+
+    def test_policy_by_link_class(self, monkeypatch):
+        monkeypatch.delenv(hostdev.ENCODE_ROUTE_ENV, raising=False)
+        monkeypatch.delenv(hostdev.ASCII_QUERY_ENV, raising=False)
+        # slow tunnel-class link -> host encode (None)
+        monkeypatch.setattr(hostdev, "_h2d_mbps", 40.0)
+        assert hostdev.device_encode_min() is None
+        # PCIe-class link -> device encode above the dispatch floor
+        monkeypatch.setattr(hostdev, "_h2d_mbps", 10_000.0)
+        assert hostdev.device_encode_min() == hostdev.DEVICE_ENCODE_MIN_BATCH
+
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setattr(hostdev, "_h2d_mbps", 10_000.0)
+        monkeypatch.setenv(hostdev.ENCODE_ROUTE_ENV, "never")
+        assert hostdev.device_encode_min() is None
+        monkeypatch.setenv(hostdev.ENCODE_ROUTE_ENV, "512")
+        assert hostdev.device_encode_min() == 512
+
+    def test_index_encode_routes_and_agrees(self, reads, queries, monkeypatch):
+        """Both encode engines must produce identical (codes, valid) —
+        forced here through the fake fast link so the device path runs
+        even on this repo's tunnel."""
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        monkeypatch.delenv(hostdev.ENCODE_ROUTE_ENV, raising=False)
+        monkeypatch.setattr(hostdev, "_h2d_mbps", 40.0)
+        c_h, v_h = index._encode(queries)
+        monkeypatch.setattr(hostdev, "_h2d_mbps", 10_000.0)
+        monkeypatch.setenv(hostdev.ENCODE_ROUTE_ENV, str(len(queries)))
+        c_d, v_d = index._encode(queries)
+        np.testing.assert_array_equal(np.asarray(c_h)[np.asarray(v_h)],
+                                      np.asarray(c_d)[np.asarray(v_d)])
+        np.testing.assert_array_equal(np.asarray(v_h), np.asarray(v_d))
+        d13 = Dense13Index.build_from_blob(store.blob)
+        q13 = [q[:13] for q in queries]
+        monkeypatch.setenv(hostdev.ENCODE_ROUTE_ENV, "never")
+        c_h, v_h = d13._encode(q13)
+        monkeypatch.setenv(hostdev.ENCODE_ROUTE_ENV, str(len(q13)))
+        c_d, v_d = d13._encode(q13)
+        np.testing.assert_array_equal(np.asarray(v_h), np.asarray(v_d))
+        np.testing.assert_array_equal(np.asarray(c_h)[np.asarray(v_h)],
+                                      np.asarray(c_d)[np.asarray(v_d)])

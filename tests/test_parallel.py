@@ -159,6 +159,53 @@ class TestMeshPositional:
         assert out.total == 0 and out.n_slots == 4 ** 5
 
 
+class TestPositionalExchange:
+    """Round 5: the bucketed all_to_all pair exchange must be
+    byte-identical to the full all_gather exchange, and skew that
+    overflows a bucket must transparently fall back."""
+
+    def test_alltoall_vs_allgather_identical(self, reads, eight_devices,
+                                             monkeypatch):
+        from aindex_tpu.index.positional import PositionalIndex
+        from aindex_tpu.parallel import positional as PP
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        for n in (2, 8):
+            mesh = make_mesh(n_data=n, devices=eight_devices[:n])
+            outs = {}
+            for mode in ("allgather", "alltoall"):
+                monkeypatch.setenv(PP.EXCHANGE_ENV, mode)
+                outs[mode] = PositionalIndex.build_sparse23(
+                    store.blob, index, chunk=512, mesh=mesh)
+            np.testing.assert_array_equal(outs["alltoall"].positions,
+                                          outs["allgather"].positions)
+            np.testing.assert_array_equal(outs["alltoall"].offsets,
+                                          outs["allgather"].offsets)
+
+    def test_overflow_falls_back(self, eight_devices, monkeypatch, caplog):
+        """A blob that is one hub k-mer repeated routes every pair to one
+        destination shard — guaranteed bucket overflow at slack 2 — and
+        must still produce the exact CSR via the auto-fallback."""
+        import logging
+        from aindex_tpu.index.positional import PositionalIndex
+        from aindex_tpu.parallel import positional as PP
+        # every window of a poly-A blob is the SAME k-mer: one destination
+        # shard receives every pair of every device
+        blob = np.frombuffer(b"A" * 2800 + b"\n", dtype=np.uint8)
+        index = Sparse23Index.build_from_blob(blob)
+        single = PositionalIndex.build_sparse23(blob, index, chunk=256)
+        mesh = make_mesh(n_data=8, devices=eight_devices)
+        monkeypatch.setenv(PP.EXCHANGE_ENV, "alltoall")
+        with caplog.at_level(logging.INFO,
+                             logger="aindex_tpu.parallel.positional"):
+            sharded = PositionalIndex.build_sparse23(blob, index, chunk=256,
+                                                     mesh=mesh)
+        np.testing.assert_array_equal(sharded.positions, single.positions)
+        # the skewed corpus must actually have exercised the fallback
+        assert any("fell back to allgather" in r.message
+                   for r in caplog.records)
+
+
 class TestDistributedHelpers:
     def test_initialize_noop_single_process(self, monkeypatch):
         from aindex_tpu.parallel import distributed
@@ -234,3 +281,94 @@ class TestMeshWiredProduct:
             [r for r in reads if "~" not in r], 23))[:100]
         assert idx.get_tf_values(golden_kmers) == \
             single.get_tf_values(golden_kmers)
+
+
+class TestShardedFullSurface:
+    """Round 5: the sharded engine serves the WHOLE query surface (De
+    Bruijn, both-directions, coverage, pfid/hash/strand resolution) with
+    single-device parity, and sharding actually frees per-device memory."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, reads, eight_devices):
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        mesh = make_mesh(n_data=1, n_index=8, devices=eight_devices)
+        return index, ShardedSparse23(index, mesh)
+
+    def test_debruijn_parity(self, pair, reads):
+        index, sharded = pair
+        golden = oracle.count_canonical(reads, 23)
+        kmers = sorted(golden)[:64] + ["A" * 23]
+        for cutoff in (0, 1):
+            np.testing.assert_array_equal(
+                sharded.debruijn_next(kmers, cutoff),
+                index.debruijn_next(kmers, cutoff))
+            np.testing.assert_array_equal(
+                sharded.debruijn_prev(kmers, cutoff),
+                index.debruijn_prev(kmers, cutoff))
+        si = sharded.debruijn_next_info(kmers, 0)
+        di = index.debruijn_next_info(kmers, 0)
+        for key in ("tf", "n", "sum", "best_hit", "best_hit_tf",
+                    "best_ukmer"):
+            np.testing.assert_array_equal(si[key], di[key])
+
+    def test_both_directions_and_resolution_parity(self, pair, reads):
+        index, sharded = pair
+        golden = oracle.count_canonical(reads, 23)
+        kmers = sorted(golden)[:100] + [oracle.rc(km)
+                                        for km in sorted(golden)[:40]]
+        sf, sr = sharded.get_tf_both_directions(kmers)
+        df, dr = index.get_tf_both_directions(kmers)
+        np.testing.assert_array_equal(sf, df)
+        np.testing.assert_array_equal(sr, dr)
+        np.testing.assert_array_equal(sharded.get_pfids(kmers),
+                                      index.get_pfids(kmers))
+        np.testing.assert_array_equal(sharded.get_hash_values(kmers),
+                                      index.get_hash_values(kmers))
+        np.testing.assert_array_equal(sharded.get_strands(kmers),
+                                      index.get_strands(kmers))
+
+    def test_coverage_parity(self, pair, reads):
+        index, sharded = pair
+        for seq in (reads[0], reads[-1], "ACG"):
+            np.testing.assert_array_equal(
+                sharded.sequence_coverage(seq, 0),
+                index.sequence_coverage(seq, 0))
+        got = sharded.sequence_coverage_batch(reads[:5], 1)
+        want = index.sequence_coverage_batch(reads[:5], 1)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_per_device_bytes_fall_with_mesh(self, reads, eight_devices):
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob)
+        sizes = {}
+        for n_index in (1, 2, 4, 8):
+            mesh = make_mesh(n_data=1, n_index=n_index,
+                             devices=eight_devices[:n_index])
+            sizes[n_index] = ShardedSparse23(index, mesh).per_device_bytes
+        assert sizes[8] < sizes[4] < sizes[2] < sizes[1]
+        # the sharded fraction dominates: 8-way is at least 4x smaller
+        assert sizes[1] > 4 * sizes[8]
+
+    def test_release_device_frees_and_guards(self, reads, eight_devices):
+        from aindex_tpu.api import AIndex
+        store = ReadsStore.from_sequences(reads)
+        ai = AIndex()
+        ai.sparse23 = Sparse23Index.build_from_blob(store.blob)
+        ai._loaded = True
+        golden = oracle.count_canonical(reads, 23)
+        kmers = sorted(golden)[:50]
+        want = [golden[km] for km in kmers]
+        mesh = make_mesh(n_data=1, n_index=8, devices=eight_devices)
+        ai.shard_to(mesh)
+        sp = ai.sparse23
+        assert sp.checker is None and sp.tf is None and sp.g_packed is None
+        with pytest.raises(RuntimeError, match="released"):
+            sp._resolve_device(np.zeros(4, np.uint64), None)
+        # facade queries keep working, served by the sharded engine
+        assert [int(v) for v in ai.get_tf_values(kmers)] == want
+        assert ai.get_sequence_coverage(reads[0]) == \
+            [int(v) for v in ai._sharded23.sequence_coverage(reads[0])]
+        d = ai.debruijn_next(kmers[0])
+        assert set(d) == set("ACGT")

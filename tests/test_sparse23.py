@@ -510,3 +510,44 @@ class TestReferenceKeyedBothDirections:
         # the second probe also applies the reference's fwd-else-rc rule,
         # so `other`'s unstored revcomp falls back to `other` itself
         assert list(r) == [3, 7, 5]
+
+
+class TestStatsParity:
+    def test_coverage_profile_semantics(self, built):
+        """set_stats mirrors the reference record exactly: profile[i] = #
+        slots with tf == i, clamped into the last of coverage+coverage//2
+        buckets (/root/reference/src/hash.hpp:297-323)."""
+        index, golden = built
+        cov = 3
+        s = index.set_stats(cov)
+        tf = index.tf_host
+        max_cov = cov + cov // 2
+        assert s["zero"] == int((tf == 0).sum())
+        assert s["unique"] == int((tf == 1).sum())
+        assert s["distinct"] == int((tf > 0).sum())
+        assert s["total"] == int(tf.sum())
+        assert s["max_count"] == int(tf.max())
+        assert len(s["profile"]) == max_cov
+        for i in range(max_cov - 1):
+            assert s["profile"][i] == int((tf == i).sum())
+        assert s["profile"][max_cov - 1] == int((tf >= max_cov - 1).sum())
+        assert s["profile"].sum() == index.n
+
+    def test_save_values_roundtrip(self, built, tmp_path):
+        """The slot-ordered kmer\\ttf dump is exactly the .dat text format:
+        loading it back through load_dat reproduces the spectrum."""
+        from aindex_tpu.pipeline.build import load_dat
+        from aindex_tpu.core import codec
+        index, golden = built
+        p = tmp_path / "dump.dat"
+        zeros, ones, other = index.save_values(str(p))
+        assert zeros == 0  # built from a spectrum: every slot has tf >= 1
+        assert ones + other == index.n
+        keys, counts = load_dat(str(p), 23)
+        order = np.argsort(index.checker_host)
+        np.testing.assert_array_equal(keys, index.checker_host[order])
+        np.testing.assert_array_equal(counts,
+                                      index.tf_host[order].astype(np.uint64))
+        # line order is slot order
+        first_km = open(p).readline().split("\t")[0]
+        assert codec.encode_kmer(first_km) == int(index.checker_host[0])
