@@ -1,33 +1,49 @@
-"""Quotiented cuckoo table: the device query engine for the sparse index.
+"""Quotiented split-half cuckoo table: the device query engine for the
+sparse index.
 
 Round-5 redesign of :mod:`aindex_tpu.index.cuckoo` driven by measured v5e
-gather economics (scripts/race_query23.py): a ``[B, 2]``-u32 row gather runs
-at ~192M rows/s and TWO of them at ~105M/s, while the old 16-byte
-``[B, 4]`` rows manage ~76M/s for the pair — so halving the row to 8 bytes
-moves the verified two-probe query past the >=100M q/s/chip north star
-(BASELINE.md; the reference loop this replaces is get_freq,
-/root/reference/src/hash.hpp:123-140, at ~2.4M q/s).
+gather economics (scripts/race_query23.py). Three laws came out of the
+race, and they pick the layout almost by themselves:
 
-8 bytes is too small for a 46-bit key + tf, so the key is *quotiented*: each
-half-table has its own invertible mixer (an xorshift-multiply bijection on
-the 2k-bit code space), the row index consumes the hash's low ``lb`` bits
-and the row stores the remaining ``2k - lb`` bits as a fingerprint. Row
-index + fingerprint reconstruct the full hash, and the bijection then
+1. fetch FULL rows — consuming only one column of a gathered row lets XLA
+   narrow the gather to 4-byte elements, which are ~2.5x slower;
+2. 8-byte ``[B, 2]``-u32 row gathers are intrinsically faster than
+   16-byte ``[B, 4]`` rows (~109M vs ~79M two-probe queries/s/chip) —
+   but ONLY while the gathered array stays at <= 2^22 rows; past that the
+   rate cliffs to the 16-byte-row rate;
+3. the cliff is PER GATHER OPERAND, not total memory: two separate
+   2^22-row arrays sustain the fast rate where one 2^23-row array drops.
+
+So each cuckoo half lives in its OWN ``uint32[m, 2]`` array of 8-byte
+``(fp, tf)`` rows — for indexes up to ~4M keys both halves sit under the
+cliff and the verified two-probe query runs at the fast rate, past the
+>=100M q/s/chip north star (BASELINE.md; the reference loop this replaces
+is get_freq, /root/reference/src/hash.hpp:123-140, at ~2.4M q/s). Larger
+tables stay correct and serve at the measured big-array rate (the chip's
+random-gather roofline — see BENCH methodology).
+
+8 bytes cannot hold a 46-bit key + tf, so keys are *quotiented*: each
+half has its own invertible mixer (an xorshift-multiply bijection on the
+2k-bit code space), the row index consumes the hash's low ``lb`` bits and
+the row stores the remaining ``2k - lb`` bits as a fingerprint. Row index
++ fingerprint reconstruct the full hash, and the bijection then
 reconstructs the full key — a fingerprint match IS an exact key match, no
-false positives. Layout per half ``h``:
+false positives. Per half ``h``:
 
-    row   = bij_h(key) & (m - 1)           (+ m for half 1)
-    fp    = bij_h(key) >> lb               (<= 31 bits; u32 lane)
-    cell  = (fp, tf)                        8 bytes, gathered as [B, 2]
+    row  = bij_h(key) & (m - 1)
+    fp   = bij_h(key) >> lb               (<= 31 bits; u32 lane)
+    cell = (fp, tf)                        8 bytes, gathered as [B, 2]
 
-Slot ids (needed only by position/pfid paths) live in a parallel ``[2m]``
-int32 column gathered once more via the winning row — tf-only queries (the
-hot codes-in path) never touch it.
+Slot ids (needed only by position/pfid paths) live in parallel ``[m]``
+int32 columns gathered once more via the winning row — tf-only queries
+(the hot codes-in path) never touch them. The builder works on one
+contiguous ``[2m, 2]`` array (native random-walk insertion); the device
+arrays are views of its halves.
 
 Eligibility: fp must fit 31 bits (0xFFFFFFFF is the empty marker), i.e.
-``lb >= 2k - 31``. For k <= 23 that minimum table is <= 2^15 rows (512 KB)
-— always worth it; for larger k the wide CuckooTable remains the fallback
-(Sparse23Index picks per index).
+``lb >= 2k - 31``. For k <= 23 that minimum table is <= 2^15 rows per
+half (512 KB) — always worth it; for larger k the wide CuckooTable
+remains the fallback (Sparse23Index picks per index).
 """
 
 from __future__ import annotations
@@ -97,17 +113,18 @@ def _bij_jnp(x: jax.Array, ma, mb, w: int) -> jax.Array:
 
 
 def natural_lb(n: int, w: int) -> int:
-    """Half-table log2 size for n keys: per-table load <= ~0.435 (safely
-    under the 1-slot 2-choice cuckoo threshold of 0.5) and fp <= 31 bits."""
+    """Per-half log2 row count for n keys: total load n/(2m) <= ~0.467
+    (safely under the 1-slot 2-choice cuckoo threshold of 0.5) and fp <=
+    31 bits."""
     lb = 1
-    while (1 << lb) < max(1, int(np.ceil(n * 1.15 / 2))):
+    while (1 << lb) < max(1, int(np.ceil(n * 1.07))):
         lb += 1
     return max(lb, w - 31, 1)
 
 
 def eligible(n: int, k: int) -> bool:
     """Quotient layout is used when the fp-width floor doesn't force a
-    table more than ~4x the natural size or larger than ~16 MB."""
+    table more than ~4x the natural size or larger than ~32 MB."""
     w = 2 * k
     if w - 31 <= 0:
         return True
@@ -116,7 +133,8 @@ def eligible(n: int, k: int) -> bool:
 
 
 class QuotCuckoo:
-    """Built table: ``fp_tf`` uint32[2m, 2] + ``slot`` int32[2m]."""
+    """Built table: ``fp_tf`` uint32[2m, 2] + ``slot`` int32[2m] host-side;
+    on device each half is a separate array (see module docstring)."""
 
     def __init__(self, fp_tf: np.ndarray, slot: np.ndarray, m: int, lb: int,
                  w: int, mults: tuple[int, int, int, int]):
@@ -126,25 +144,33 @@ class QuotCuckoo:
         self.lb = lb
         self.w = w
         self.mults = tuple(np.uint64(mu) for mu in mults)
-        self._device: jax.Array | None = None
-        self._slot_device: jax.Array | None = None
+        self._halves: tuple[jax.Array, jax.Array] | None = None
+        self._slot_halves: tuple[jax.Array, jax.Array] | None = None
 
     @property
-    def device(self) -> jax.Array:
-        if self._device is None:
+    def device(self) -> tuple[jax.Array, jax.Array]:
+        """The two half-tables as SEPARATE device arrays — each stays
+        under the measured per-operand gather-size cliff."""
+        if self._halves is None:
             # concrete even when first touched inside a jit trace (e.g. a
             # resolve closure inside the mesh positional build) — caching
             # a traced constant would leak the tracer into later calls
             with jax.ensure_compile_time_eval():
-                self._device = jnp.asarray(self.fp_tf_host)
-        return self._device
+                self._halves = (jnp.asarray(self.fp_tf_host[:self.m]),
+                                jnp.asarray(self.fp_tf_host[self.m:]))
+        return self._halves
 
     @property
-    def slot_device(self) -> jax.Array:
-        if self._slot_device is None:
+    def slot_device(self) -> tuple[jax.Array, jax.Array]:
+        if self._slot_halves is None:
             with jax.ensure_compile_time_eval():
-                self._slot_device = jnp.asarray(self.slot_host)
-        return self._slot_device
+                self._slot_halves = (jnp.asarray(self.slot_host[:self.m]),
+                                     jnp.asarray(self.slot_host[self.m:]))
+        return self._slot_halves
+
+    def release_device(self) -> None:
+        self._halves = None
+        self._slot_halves = None
 
     @property
     def nbytes(self) -> int:
@@ -189,7 +215,7 @@ class QuotCuckoo:
         ma = (np.uint64(mults[0]), np.uint64(mults[2]))
         mb = (np.uint64(mults[1]), np.uint64(mults[3]))
         max_kicks = 512
-        rng = np.uint64(mults[0])
+        rng = np.uint64(mults[0]) ^ np.uint64(0x9E3779B97F4A7C15)
         for i in range(len(keys)):
             key, etf, eslot = keys[i], tf[i], slot[i]
             half = 0
@@ -248,43 +274,42 @@ class QuotCuckoo:
 
 
 # ---------------------------------------------------------------------------
-# device kernels
+# device kernels — each takes the halves as separate arrays
 # ---------------------------------------------------------------------------
 
-def _probe(fp_tf, keys, mults, m: int, lb: int, w: int):
-    """Shared probe body: (hit1, hit2, c1, c2, r1, r2)."""
+def _probe(half0, half1, keys, mults, m: int, lb: int, w: int):
+    """Shared probe body. Returns per-half (tf_or_0, hit, row)."""
     keys = keys.astype(jnp.uint64)
     mask = jnp.uint64(m - 1)
-    h1 = _bij_jnp(keys, mults[0], mults[1], w)
-    h2 = _bij_jnp(keys, mults[2], mults[3], w)
-    r1 = (h1 & mask).astype(jnp.int32)
-    r2 = (h2 & mask).astype(jnp.int32) + jnp.int32(m)
-    fp1 = (h1 >> jnp.uint64(lb)).astype(jnp.uint32)
-    fp2 = (h2 >> jnp.uint64(lb)).astype(jnp.uint32)
-    c1 = fp_tf[r1]          # [B, 2]
-    c2 = fp_tf[r2]
-    return c1[:, 0] == fp1, c2[:, 0] == fp2, c1, c2, r1, r2
+    out = []
+    for half, tbl in ((0, half0), (1, half1)):
+        h = _bij_jnp(keys, mults[2 * half], mults[2 * half + 1], w)
+        r = (h & mask).astype(jnp.int32)
+        fp = (h >> jnp.uint64(lb)).astype(jnp.uint32)
+        c = tbl[r]                       # [B, 2] — full row, never sliced
+        hit = c[:, 0] == fp
+        out.append((jnp.where(hit, c[:, 1], 0), hit, r))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("m", "lb", "w"))
-def quot_query_tf(fp_tf: jax.Array, keys: jax.Array, valid,
-                  m1a, m1b, m2a, m2b, *, m: int, lb: int, w: int
+def quot_query_tf(half0: jax.Array, half1: jax.Array, keys: jax.Array,
+                  valid, m1a, m1b, m2a, m2b, *, m: int, lb: int, w: int
                   ) -> jax.Array:
     """tf per key — the hot tf-only path: exactly two [B, 2]-u32 row
-    gathers (measured ~105M q/s/chip on v5e at bench scale).
-    ``valid=None`` (trace-time) skips the mask."""
-    hit1, hit2, c1, c2, _, _ = _probe(fp_tf, keys, (m1a, m1b, m2a, m2b),
-                                      m, lb, w)
-    tf = jnp.where(hit1, c1[:, 1], jnp.where(hit2, c2[:, 1], 0))
+    gathers. ``valid=None`` (trace-time) skips the mask."""
+    (tf1, hit1, _), (tf2, hit2, _) = _probe(half0, half1, keys,
+                                            (m1a, m1b, m2a, m2b), m, lb, w)
+    tf = jnp.where(hit1, tf1, jnp.where(hit2, tf2, 0))
     if valid is not None:
         tf = jnp.where(valid, tf, 0)
     return tf.astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m", "lb", "w"))
-def quot_tf_canonical(fp_tf: jax.Array, codes: jax.Array, valid,
-                      m1a, m1b, m2a, m2b, *, k: int, m: int, lb: int, w: int
-                      ) -> jax.Array:
+def quot_tf_canonical(half0: jax.Array, half1: jax.Array, codes: jax.Array,
+                      valid, m1a, m1b, m2a, m2b, *, k: int, m: int, lb: int,
+                      w: int) -> jax.Array:
     """tf per LITERAL code on a canonical-keyed index — revcomp +
     canonicalise + both probes fused in one compiled kernel (one dispatch,
     no HBM round-trips for intermediates). The end-to-end form of the
@@ -292,26 +317,26 @@ def quot_tf_canonical(fp_tf: jax.Array, codes: jax.Array, valid,
     from aindex_tpu.kernels.encode import revcomp_code64
     codes = codes.astype(jnp.uint64)
     canon = jnp.minimum(codes, revcomp_code64(codes, k))
-    hit1, hit2, c1, c2, _, _ = _probe(fp_tf, canon,
-                                      (m1a, m1b, m2a, m2b), m, lb, w)
-    tf = jnp.where(hit1, c1[:, 1], jnp.where(hit2, c2[:, 1], 0))
+    (tf1, hit1, _), (tf2, hit2, _) = _probe(half0, half1, canon,
+                                            (m1a, m1b, m2a, m2b), m, lb, w)
+    tf = jnp.where(hit1, tf1, jnp.where(hit2, tf2, 0))
     if valid is not None:
         tf = jnp.where(valid, tf, 0)
     return tf.astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "lb", "w"))
-def quot_query(fp_tf: jax.Array, slot_col: jax.Array, keys: jax.Array,
-               valid, m1a, m1b, m2a, m2b, *, m: int, lb: int, w: int
+def quot_query(half0: jax.Array, half1: jax.Array, slot0: jax.Array,
+               slot1: jax.Array, keys: jax.Array, valid,
+               m1a, m1b, m2a, m2b, *, m: int, lb: int, w: int
                ) -> tuple[jax.Array, jax.Array]:
-    """(tf, slot) per key; slot -1 when absent/invalid. Adds one [B]-i32
-    gather of the winning row to the tf-only kernel."""
-    hit1, hit2, c1, c2, r1, r2 = _probe(fp_tf, keys, (m1a, m1b, m2a, m2b),
-                                        m, lb, w)
+    """(tf, slot) per key; slot -1 when absent/invalid. Adds the winning
+    row's slot-column gathers to the tf-only kernel."""
+    (tf1, hit1, r1), (tf2, hit2, r2) = _probe(half0, half1, keys,
+                                              (m1a, m1b, m2a, m2b), m, lb, w)
     if valid is not None:
         hit1 = hit1 & valid
         hit2 = hit2 & valid
-    tf = jnp.where(hit1, c1[:, 1], jnp.where(hit2, c2[:, 1], 0))
-    winrow = jnp.where(hit1, r1, r2)
-    slot = jnp.where(hit1 | hit2, slot_col[winrow], -1)
+    tf = jnp.where(hit1, tf1, jnp.where(hit2, tf2, 0))
+    slot = jnp.where(hit1, slot0[r1], jnp.where(hit2, slot1[r2], -1))
     return tf.astype(jnp.uint32), slot.astype(jnp.int32)

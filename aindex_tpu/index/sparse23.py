@@ -346,7 +346,8 @@ class Sparse23Index(SharedQueryOps):
         qc = self.quot
         if qc is not None:
             from aindex_tpu.index.quotcuckoo import quot_query
-            return quot_query(qc.device, qc.slot_device, jnp.asarray(canon),
+            return quot_query(*qc.device, *qc.slot_device,
+                              jnp.asarray(canon),
                               None if valid is None else jnp.asarray(valid),
                               *qc.mults, m=qc.m, lb=qc.lb, w=qc.w)
         from aindex_tpu.index.cuckoo import cuckoo_query
@@ -395,7 +396,7 @@ class Sparse23Index(SharedQueryOps):
         qc = self.quot
         if qc is not None:
             from aindex_tpu.index.quotcuckoo import quot_query_tf
-            return quot_query_tf(qc.device, jnp.asarray(canon),
+            return quot_query_tf(*qc.device, jnp.asarray(canon),
                                  None if valid is None else jnp.asarray(valid),
                                  *qc.mults, m=qc.m, lb=qc.lb, w=qc.w)
         tf, _ = self._query(canon, valid)
@@ -419,7 +420,7 @@ class Sparse23Index(SharedQueryOps):
         from aindex_tpu.index.quotcuckoo import quot_tf_canonical
         codes_j = jnp.asarray(codes)
         valid_j = None if valid is None else jnp.asarray(valid)
-        return quot_tf_canonical(qc.device, codes_j, valid_j, *qc.mults,
+        return quot_tf_canonical(*qc.device, codes_j, valid_j, *qc.mults,
                                  k=self.k, m=qc.m, lb=qc.lb, w=qc.w)
 
     def _query_host_ascii(self, raw: bytes, n: int):
@@ -481,8 +482,7 @@ class Sparse23Index(SharedQueryOps):
         self.g_packed = None
         self.slots = None
         if self._quot is not None:
-            self._quot._device = None
-            self._quot._slot_device = None
+            self._quot.release_device()
         if self._cuckoo is not None:
             self._cuckoo._device = None
         self._device_released = True

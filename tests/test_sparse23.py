@@ -395,17 +395,30 @@ class TestQuotCuckoo:
         f2, t2, s2 = qc.lookup_host(absent)
         assert not f2.any() and not t2.any() and (s2 == -1).all()
 
-    def test_half_memory_vs_wide(self, built):
-        """The 8-byte rows + slot column cost ~25% less than the wide
-        16-byte layout at equal row count (the point of the redesign)."""
-        index, _ = built
+    def test_memory_vs_wide(self, built, rng):
+        """Two quotiented slots per 16-byte bucket at load <= 0.8 must
+        cost materially less per key than the wide layout's one 16-byte
+        row per slot at load < 0.5 — table bytes are the measured rate
+        limiter on v5e (see module docstring). Compared at a realistic n;
+        below ~64K keys the fp-width floor (lb >= 2k-31) dominates and
+        the comparison is meaningless."""
+        from aindex_tpu.core import codec
         from aindex_tpu.index.cuckoo import CuckooTable
-        wide = CuckooTable.build(index.checker_host, index.tf_host,
-                                 np.arange(index.n, dtype=np.int32))
-        qc = index.quot
-        per_row_q = qc.nbytes / (2 * qc.m)
-        per_row_w = wide.table_host.nbytes / (2 * wide.m)
-        assert per_row_q == 12 and per_row_w == 16
+        from aindex_tpu.index.quotcuckoo import QuotCuckoo
+        index, _ = built
+        assert index.quot.fp_tf_host.shape == (2 * index.quot.m, 2)
+        assert index.quot.slot_host.shape == (2 * index.quot.m,)
+        h0, h1 = index.quot.device
+        assert h0.shape == h1.shape == (index.quot.m, 2)
+        keys = np.unique(codec.canonical_code(
+            rng.integers(0, 1 << 46, size=300_000).astype(np.uint64), 23))
+        tf = np.ones(keys.size, np.uint32)
+        slot = np.arange(keys.size, dtype=np.int32)
+        qc = QuotCuckoo.build(keys, tf, slot, 23)
+        wide = CuckooTable.build(keys, tf, slot)
+        assert qc.fp_tf_host.nbytes <= wide.table_host.nbytes // 2
+        found, tfv, sl = qc.lookup_host(keys)
+        assert found.all() and (sl == slot).all()
 
     def test_device_kernels_match_host(self, built, rng):
         import jax.numpy as jnp
@@ -416,13 +429,13 @@ class TestQuotCuckoo:
             index.checker_host,
             rng.integers(0, 1 << 46, size=512).astype(np.uint64)])
         found, tf, slot = qc.lookup_host(mixed)
-        dtf, dslot = quot_query(qc.device, qc.slot_device,
+        dtf, dslot = quot_query(*qc.device, *qc.slot_device,
                                 jnp.asarray(mixed), None, *qc.mults,
                                 m=qc.m, lb=qc.lb, w=qc.w)
         assert (np.asarray(dtf) == tf).all()
         assert (np.asarray(dslot) == slot).all()
-        dtf2 = quot_query_tf(qc.device, jnp.asarray(mixed), None, *qc.mults,
-                             m=qc.m, lb=qc.lb, w=qc.w)
+        dtf2 = quot_query_tf(*qc.device, jnp.asarray(mixed), None,
+                             *qc.mults, m=qc.m, lb=qc.lb, w=qc.w)
         assert (np.asarray(dtf2) == tf).all()
 
     def test_fused_canonical_kernel(self, built, rng):
@@ -438,7 +451,7 @@ class TestQuotCuckoo:
                        dtype=np.uint64)
         rc = codec.revcomp_code(lit, 23)
         for codes in (lit, rc):
-            out = quot_tf_canonical(qc.device, jnp.asarray(codes), None,
+            out = quot_tf_canonical(*qc.device, jnp.asarray(codes), None,
                                     *qc.mults, k=23, m=qc.m, lb=qc.lb, w=qc.w)
             canon = codec.canonical_code(codes, 23)
             _, tf_h, _ = qc.lookup_host(canon)
