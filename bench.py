@@ -15,6 +15,16 @@ that the reference numbers include (string encoding, H2D of the query
 batch) is inside the timed region. Host-path metrics (CSR position
 slicing) are timed as plain numpy.
 
+Gather-rate law (scripts/race_shape.py, race_split.py, race_big4.py —
+round 5): verified sparse queries reduce to two 8-byte full-row gathers,
+whose rate depends on the gathered array's size PER OPERAND — ~109M
+two-probe q/s at <= 2^22 rows/half, 79M at 2^23, 49.7M at 2^24; 16-byte
+rows are never faster and drop to 39.7M at scale. The bench corpus
+(2.4M keys -> 2^22-row halves) measures the fast tier; E. coli-scale
+artifacts (9.6M keys -> 2^24-row halves) run at the 49.7M roofline —
+see SCALING.md's scale section. Table bytes, not algorithm, set the
+ceiling: the engine reaches 98% of the raw primitive at every size.
+
 Prints ONE JSON line per metric; the FINAL line is the headline metric
 (13-mer batched total-tf queries/s/chip).
 """
