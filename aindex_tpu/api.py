@@ -59,7 +59,9 @@ class AIndex:
         collective-free). Returns self; subsequent sparse tf queries are
         served by the sharded engine."""
         if self.sparse23 is not None:
-            if getattr(self.sparse23, "g_packed", None) is None \
+            # hasattr on the mphf, not the g_packed property — the property
+            # would lazily H2D the walk tables just to answer the check
+            if not hasattr(self.sparse23.mphf, "g_packed") \
                     or not self.sparse23.canonical_keys:
                 # reference-format (emphf) indexes have no device MPHF walk
                 # and need the fwd-else-revcomp probe rule — the slot-sharded

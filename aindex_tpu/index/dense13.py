@@ -139,14 +139,30 @@ class Dense13Index:
     k = K13
     space = SPACE_13
 
-    def __init__(self, tf: jax.Array, tf_host: np.ndarray | None = None):
+    def __init__(self, tf: jax.Array | np.ndarray,
+                 tf_host: np.ndarray | None = None):
         if tf.shape != (SPACE_13,):
             raise ValueError(f"expected shape ({SPACE_13},), got {tf.shape}")
-        self.tf = tf
+        # Accepts a device table (build paths) OR a host table (file loads)
+        # — the device replica materialises lazily on first device query,
+        # so loading an index for host-engine use never pays the 256 MB
+        # H2D (r5: ~6 s of the old load time on a ~40 MB/s link).
+        self._tf = tf
         self._tf_host: np.ndarray | None = tf_host
         self._tf_total: jax.Array | None = None
         self._tf_query: jax.Array | None = None
         self._tf_total_host: np.ndarray | None = None
+
+    @property
+    def tf(self) -> jax.Array:
+        if not isinstance(self._tf, jax.Array):
+            with jax.ensure_compile_time_eval():
+                self._tf = jnp.asarray(self._tf)
+        return self._tf
+
+    @tf.setter
+    def tf(self, value) -> None:
+        self._tf = value
 
     @property
     def tf_total(self) -> jax.Array:
@@ -233,8 +249,12 @@ class Dense13Index:
     #    reference format is MPHF-slot order — parity is at kmer->tf level) --
 
     def save(self, tf_path: str) -> None:
-        src = self._tf_host if self._tf_host is not None else np.asarray(self.tf)
-        np.asarray(src, dtype=np.uint64).tofile(tf_path)
+        if self._tf_host is None:
+            # cache the pull: on a slow D2H transport this is the expensive
+            # step, and the positional phase right after save() needs the
+            # same host table for its CSR offsets
+            self._tf_host = np.asarray(self.tf)
+        np.asarray(self._tf_host, dtype=np.uint64).tofile(tf_path)
 
     @classmethod
     def load(cls, tf_path: str, pf_path: str | None = None) -> "Dense13Index":
@@ -267,11 +287,12 @@ class Dense13Index:
                 "queries saturate at %d, host-path queries stay exact",
                 origin, int(over.sum()), raw.size, int(raw.max()), u32max)
             clipped = np.minimum(raw, u32max).astype(np.uint32)
-            return cls(jnp.asarray(clipped), tf_host=raw)
+            return cls(clipped, tf_host=raw)
         clipped = raw.astype(np.uint32)
         # keep the host copy: it enables the zero-transfer host query engine
-        # on slow H2D links (core.hostdev) at no extra cost
-        return cls(jnp.asarray(clipped), tf_host=clipped)
+        # on slow H2D links (core.hostdev) at no extra cost; the device
+        # replica materialises lazily on first device query
+        return cls(clipped, tf_host=clipped)
 
     # -- host-side helpers ----------------------------------------------
 
@@ -492,12 +513,21 @@ class Dense13Index:
 
     def stats(self) -> dict:
         """total/non_zero/max/total_count (get_13mer_statistics,
-        /root/reference/src/python_wrapper.cpp:1038-1068)."""
+        /root/reference/src/python_wrapper.cpp:1038-1068). Served from the
+        host table when present (stats on a just-loaded index must not
+        force the lazy 256 MB device replica)."""
+        if self._tf_host is not None:
+            tf = self._tf_host
+            return {
+                "total_kmers": SPACE_13,
+                "non_zero_kmers": int(np.count_nonzero(tf)),
+                "max_frequency": int(tf.max()) if tf.size else 0,
+                "total_count": int(tf.sum(dtype=np.uint64)),
+            }
         tf = self.tf
-        non_zero = int(jnp.sum(tf > 0))
         return {
             "total_kmers": SPACE_13,
-            "non_zero_kmers": non_zero,
+            "non_zero_kmers": int(jnp.sum(tf > 0)),
             "max_frequency": int(jnp.max(tf)),
             "total_count": int(jnp.sum(tf.astype(jnp.uint64))),
         }

@@ -279,17 +279,18 @@ class Sparse23Index(SharedQueryOps):
         self.mphf = mphf  # MPHF or emphf.EmphfMPHFAdapter (duck-typed)
         self.checker_host = np.asarray(checker, dtype=np.uint64)
         self.tf_host = np.asarray(tf, dtype=np.uint32)
-        # device replicas
-        self.checker = jnp.asarray(self.checker_host)
-        self.tf = jnp.asarray(self.tf_host)
+        # Device replicas are LAZY (r5): they serve only the MPHF-walk
+        # fallback query path (_query_kernel) — the quot/cuckoo engines and
+        # all host paths never touch them, and building them eagerly cost
+        # ~1 s of H2D per built index on a ~40 MB/s link.
+        self._checker_dev: jax.Array | None = None
+        self._tf_dev: jax.Array | None = None
+        self._gp_dev: jax.Array | None = None
+        self._slots_dev: jax.Array | None = None
         if hasattr(mphf, "g_packed"):  # native murmur-hash MPHF: device walk
-            self.g_packed = jnp.asarray(mphf.g_packed)
-            self.slots = jnp.asarray(mphf.slots)
             self.seed = jnp.uint64(mphf.seed)
             self.domain = jnp.uint64(mphf.domain)
         else:  # reference-format (emphf) MPHF: device queries use the cuckoo
-            self.g_packed = None
-            self.slots = None
             self.seed = None
             self.domain = None
         # Indexes built here store true-canonical keys, so one probe of the
@@ -469,6 +470,41 @@ class Sparse23Index(SharedQueryOps):
         strand = np.where(hit_f, 1, np.where(slot_r >= 0, 2, 0)).astype(np.int32)
         return tf, slot, strand
 
+    # -- lazy device replicas (MPHF-walk fallback path only) ---------------
+
+    def _lazy_dev(self, attr: str, make):
+        if getattr(self, "_device_released", False):
+            return None
+        cached = getattr(self, attr)
+        if cached is None:
+            with jax.ensure_compile_time_eval():
+                cached = make()
+            setattr(self, attr, cached)
+        return cached
+
+    @property
+    def checker(self):
+        return self._lazy_dev("_checker_dev",
+                              lambda: jnp.asarray(self.checker_host))
+
+    @property
+    def tf(self):
+        return self._lazy_dev("_tf_dev", lambda: jnp.asarray(self.tf_host))
+
+    @property
+    def g_packed(self):
+        if not hasattr(self.mphf, "g_packed"):
+            return None
+        return self._lazy_dev("_gp_dev",
+                              lambda: jnp.asarray(self.mphf.g_packed))
+
+    @property
+    def slots(self):
+        if not hasattr(self.mphf, "slots"):
+            return None
+        return self._lazy_dev("_slots_dev",
+                              lambda: jnp.asarray(self.mphf.slots))
+
     def release_device(self) -> None:
         """Drop every device-resident array (MPHF walk tables, checker/tf
         replicas, quot/cuckoo query tables) and pin the device paths shut.
@@ -477,10 +513,10 @@ class Sparse23Index(SharedQueryOps):
         queries: without this, every host would keep a full replica of the
         index in HBM and sharding would save nothing. Host arrays stay
         (save/iteration/stats and the host ASCII engines still work)."""
-        self.checker = None
-        self.tf = None
-        self.g_packed = None
-        self.slots = None
+        self._checker_dev = None
+        self._tf_dev = None
+        self._gp_dev = None
+        self._slots_dev = None
         if self._quot is not None:
             self._quot.release_device()
         if self._cuckoo is not None:

@@ -280,9 +280,14 @@ def build_positional(store: ReadsStore, index, cfg: BuildConfig) -> PositionalIn
     cb = prog.step if prog else None
     mesh = cfg.resolve_mesh()
     if isinstance(index, Dense13Index):
-        pos = PositionalIndex.build_dense13(store.blob, chunk=cfg.chunk,
-                                            tf=index.tf, mesh=mesh,
-                                            on_progress=cb)
+        # mesh path computes its CSR offsets host-side: hand it the host
+        # table the counting phase's save() already pulled and cached,
+        # instead of re-pulling 256 MB D2H; the single-device path keeps
+        # the device table (its offsets kernel runs on device)
+        pos = PositionalIndex.build_dense13(
+            store.blob, chunk=cfg.chunk,
+            tf=index.tf_host if mesh is not None else index.tf,
+            mesh=mesh, on_progress=cb)
     else:
         pos = PositionalIndex.build_sparse23(store.blob, index,
                                              chunk=cfg.chunk, mesh=mesh,
