@@ -325,6 +325,55 @@ def quot_tf_canonical(half0: jax.Array, half1: jax.Array, codes: jax.Array,
     return tf.astype(jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "m", "lb", "w"))
+def quot_tf_windows(half0: jax.Array, half1: jax.Array, mat: jax.Array,
+                    m1a, m1b, m2a, m2b, *, k: int, m: int, lb: int, w: int
+                    ) -> jax.Array:
+    """[B, L] ASCII rows -> [B, L-k+1] verified tf — the whole 23-mer
+    coverage path (window extraction + canonicalise + both probes) in ONE
+    compiled kernel: no HBM round-trips for the window/validity
+    intermediates and a single dispatch per length bucket (the r4 path
+    paid two dispatches and materialised the uint64 window tensor)."""
+    from aindex_tpu.kernels.encode import (ascii_to_base_codes,
+                                           revcomp_code64, window_codes)
+    base = ascii_to_base_codes(mat)
+    codes, valid = window_codes(base, k, out_dtype=jnp.uint64)
+    shape = codes.shape
+    codes = codes.reshape(-1)
+    canon = jnp.minimum(codes, revcomp_code64(codes, k))
+    (tf1, hit1, _), (tf2, hit2, _) = _probe(
+        half0, half1, canon, (m1a, m1b, m2a, m2b), m, lb, w)
+    tf = jnp.where(hit1, tf1, jnp.where(hit2, tf2, 0))
+    tf = jnp.where(valid.reshape(-1), tf, 0)
+    return tf.reshape(shape).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "m", "lb", "w", "rows", "stride"))
+def quot_tf_windows_packed(half0: jax.Array, half1: jax.Array,
+                           packed: jax.Array, vbits: jax.Array,
+                           m1a, m1b, m2a, m2b, *, k: int, m: int, lb: int,
+                           w: int, rows: int, stride: int) -> jax.Array:
+    """Packed-ingest twin of quot_tf_windows: the caller flattens the
+    [rows, stride-1] ASCII matrix with a newline column (plus >= k
+    newline tail) and ships it in the 0.375 B/base packed format — 2.7x
+    fewer wire bytes than raw ASCII, which is what bounds coverage on
+    slow links. Returns [rows, stride-k] verified tf (the caller slices
+    off the separator-invalidated tail windows)."""
+    from aindex_tpu.kernels.encode import packed_window_codes, revcomp_code64
+    codes, valid = packed_window_codes(packed, vbits, k,
+                                       out_dtype=jnp.uint64)
+    need = rows * stride
+    codes = codes[:need]
+    valid = valid[:need]
+    canon = jnp.minimum(codes, revcomp_code64(codes, k))
+    (tf1, hit1, _), (tf2, hit2, _) = _probe(
+        half0, half1, canon, (m1a, m1b, m2a, m2b), m, lb, w)
+    tf = jnp.where(hit1, tf1, jnp.where(hit2, tf2, 0))
+    tf = jnp.where(valid, tf, 0)
+    return tf.reshape(rows, stride)[:, : stride - k].astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "lb", "w"))
 def quot_query(half0: jax.Array, half1: jax.Array, slot0: jax.Array,
                slot1: jax.Array, keys: jax.Array, valid,

@@ -424,6 +424,33 @@ class Sparse23Index(SharedQueryOps):
         return quot_tf_canonical(*qc.device, codes_j, valid_j, *qc.mults,
                                  k=self.k, m=qc.m, lb=qc.lb, w=qc.w)
 
+    def _coverage_ascii(self, mat: np.ndarray, cutoff: int) -> np.ndarray:
+        """Quot-engine override of SharedQueryOps._coverage_ascii: the
+        rows flatten with a newline column and cross the link in the
+        packed ingest format (0.375 B/base — the H2D of the batch is what
+        bounds coverage on slow links), then window extraction +
+        canonicalise + probes run fused in ONE compiled kernel
+        (quot_tf_windows_packed) instead of two dispatches plus a
+        materialised uint64 window tensor."""
+        qc = self.quot if (self.canonical_keys and
+                           not getattr(self, "_device_released", False)) \
+            else None
+        if qc is None:
+            return super()._coverage_ascii(mat, cutoff)
+        from aindex_tpu.index.quotcuckoo import quot_tf_windows_packed
+        rows, L = mat.shape
+        flat = np.concatenate([
+            np.hstack([mat, np.full((rows, 1), ord("\n"), np.uint8)]).ravel(),
+            np.full(self.k, ord("\n"), np.uint8)])
+        packed, vbits = codec.pack_ascii_chunk(flat)
+        tf = quot_tf_windows_packed(
+            *qc.device, jnp.asarray(packed), jnp.asarray(vbits), *qc.mults,
+            k=self.k, m=qc.m, lb=qc.lb, w=qc.w, rows=rows, stride=L + 1)
+        if cutoff:
+            tf = jnp.where(tf >= jnp.uint32(cutoff), tf,
+                           jnp.zeros((), tf.dtype))
+        return np.asarray(tf)
+
     def _query_host_ascii(self, raw: bytes, n: int):
         """Fused native host engine: raw ASCII k-mer run -> (tf, slot,
         strand) in one C pass (native.sparse_query_ascii_quot / the wide

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aindex_tpu.kernels.encode import ascii_to_base_codes, window_codes
+from aindex_tpu.kernels.encode import (ascii_to_base_codes,
+                                       packed_window_codes, window_codes)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -25,6 +26,23 @@ def _coverage_dense_kernel(table: jax.Array, ascii_u8: jax.Array, cutoff: jax.Ar
     tf = table[codes.astype(jnp.int32)]
     tf = jnp.where(valid, tf, jnp.zeros((), tf.dtype))
     return jnp.where(tf >= cutoff, tf, jnp.zeros((), tf.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rows", "stride"))
+def _coverage_dense_packed(table: jax.Array, packed: jax.Array,
+                           vbits: jax.Array, cutoff: jax.Array, *, k: int,
+                           rows: int, stride: int) -> jax.Array:
+    """Packed-ingest batch coverage: the caller flattens the
+    [rows, stride-1] ASCII matrix with a newline column (+ >= k newline
+    tail) into the 0.375 B/base packed format — the H2D of the raw batch
+    is what bounds coverage on slow links. Returns [rows, stride-k]."""
+    codes, valid = packed_window_codes(packed, vbits, k,
+                                       out_dtype=jnp.uint32)
+    need = rows * stride
+    tf = table[codes[:need].astype(jnp.int32)]
+    tf = jnp.where(valid[:need], tf, jnp.zeros((), tf.dtype))
+    tf = jnp.where(tf >= cutoff, tf, jnp.zeros((), tf.dtype))
+    return tf.reshape(rows, stride)[:, : stride - k]
 
 
 def coverage_dense(table: jax.Array, seq: str, k: int, cutoff: int = 0) -> np.ndarray:
@@ -61,16 +79,21 @@ def coverage_dense_batch(table: jax.Array, seqs: list[str], k: int,
             out[i] = np.zeros(0, dtype=np.uint32)
         else:
             buckets.setdefault(_length_bucket(len(s), k), []).append(i)
+    from aindex_tpu.core import codec
     for blen, members in buckets.items():
         rows = 8
         while rows < len(members):
             rows <<= 1
-        mat = np.full((rows, blen), ord("\n"), dtype=np.uint8)
+        mat = np.full((rows, blen + 1), ord("\n"), dtype=np.uint8)
         for row, i in enumerate(members):
             enc = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
             mat[row, :len(enc)] = enc
-        cov = np.asarray(_coverage_dense_kernel(
-            table, jnp.asarray(mat), jnp.uint32(cutoff), k))
+        flat = np.concatenate([mat.ravel(),
+                               np.full(k, ord("\n"), np.uint8)])
+        packed, vbits = codec.pack_ascii_chunk(flat)
+        cov = np.asarray(_coverage_dense_packed(
+            table, jnp.asarray(packed), jnp.asarray(vbits),
+            jnp.uint32(cutoff), k=k, rows=rows, stride=blen + 1))
         for row, i in enumerate(members):
             out[i] = cov[row, :len(seqs[i]) - k + 1]
     return out  # type: ignore[return-value]
