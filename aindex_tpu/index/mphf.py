@@ -127,7 +127,8 @@ class MPHF:
 
     @classmethod
     def build_with_slots(cls, keys: np.ndarray, max_trials: int = 64,
-                         rng_seed: int = 37, use_native: bool | None = None
+                         rng_seed: int = 37, use_native: bool | None = None,
+                         assume_unique: bool = False
                          ) -> tuple["MPHF", np.ndarray]:
         """``build`` plus the slot id of every input key, for free.
 
@@ -141,7 +142,10 @@ class MPHF:
         if n == 0:
             return (cls(0, 1, 0, np.full(1, 0xFFFFFFFF, np.uint32),
                         np.zeros(3, np.int32)), np.zeros(0, np.int32))
-        if len(np.unique(keys)) != n:
+        if not assume_unique and len(np.unique(keys)) != n:
+            # callers whose keys come out of a sorted-unique reduction
+            # (np.unique / merge_spectra) pass assume_unique=True: this
+            # re-sort costs ~15% of an end-to-end sparse build
             raise ValueError("MPHF keys must be distinct")
         if use_native is None or use_native:
             from aindex_tpu import native as native_mod

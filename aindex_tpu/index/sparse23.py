@@ -602,8 +602,14 @@ class Sparse23Index(SharedQueryOps):
         """Build MPHF + slot-ordered arrays from a (key, count) spectrum —
         the analogue of index_hash_pp (/root/reference/src/hash.cpp:779-881).
         The per-key slots come out of the peel itself (build_with_slots),
-        so no lookup pass over the key set is needed."""
-        mphf, slot = MPHF.build_with_slots(keys.astype(np.uint64))
+        so no lookup pass over the key set is needed. Spectrum keys come
+        from a sorted-unique reduction, so distinctness is proven by one
+        O(n) strictly-ascending scan instead of the MPHF's re-sort check
+        (~15% of an end-to-end build); unsorted user input falls back to
+        the full check."""
+        ks = np.ascontiguousarray(keys, dtype=np.uint64)
+        ascending = ks.size < 2 or bool(np.all(ks[1:] > ks[:-1]))
+        mphf, slot = MPHF.build_with_slots(ks, assume_unique=ascending)
         n = mphf.n
         checker = np.zeros(n, dtype=np.uint64)
         tf = np.zeros(n, dtype=np.uint32)

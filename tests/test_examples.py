@@ -28,3 +28,11 @@ def test_comprehensive_demo_runs(capsys):
     out = capsys.readouterr().out
     assert "All API families exercised." in out
     assert "reloaded index answers identically: True" in out
+
+
+def test_device_and_sharded_queries_runs(capsys):
+    _run("device_and_sharded_queries")
+    out = capsys.readouterr().out
+    assert "codes-in tf: device array" in out
+    assert "coverage profile:" in out
+    assert "sharded over 8 devices" in out  # conftest pins the 8-dev mesh
