@@ -564,3 +564,48 @@ class TestStatsParity:
         # line order is slot order
         first_km = open(p).readline().split("\t")[0]
         assert codec.encode_kmer(first_km) == int(index.checker_host[0])
+
+
+class TestAlternateK:
+    """Engine dispatch across k: small k always takes the quotient layout
+    (fp-width floor is trivial), large k near the eligibility boundary
+    falls back to the wide CuckooTable — both exact."""
+
+    @pytest.mark.parametrize("k", [11, 15, 25, 29])
+    def test_build_query_roundtrip(self, k, rng):
+        from aindex_tpu.core import codec
+        from aindex_tpu.index import quotcuckoo
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        reads = [bytes(bases[rng.integers(0, 4, size=60)]).decode()
+                 for _ in range(20)]
+        store = ReadsStore.from_sequences(reads)
+        index = Sparse23Index.build_from_blob(store.blob, k=k)
+        golden = oracle.count_canonical(reads, k)
+        kms = sorted(golden)
+        assert [int(v) for v in index.get_tf_values(kms)] == \
+            [golden[km] for km in kms]
+        # absent + revcomp forms
+        rcs = [oracle.rc(km) for km in kms[:50]]
+        assert [int(v) for v in index.get_tf_values(rcs)] == \
+            [golden[km] for km in kms[:50]]
+        # engine selection matches the documented eligibility rule
+        expect_quot = quotcuckoo.eligible(index.n, k)
+        assert (index.quot is not None) == expect_quot
+        if not expect_quot:
+            assert index.cuckoo is not None  # wide fallback serves
+        # coverage path (fused-or-fallback) against a read
+        cov = index.sequence_coverage(reads[0])
+        want = [golden[min(reads[0][i:i+k], oracle.rc(reads[0][i:i+k]))]
+                for i in range(len(reads[0]) - k + 1)]
+        assert [int(v) for v in cov] == want
+
+    def test_eligibility_boundaries(self):
+        from aindex_tpu.index import quotcuckoo
+        # k <= 15 (W <= 31): always eligible regardless of n
+        assert quotcuckoo.eligible(10, 13)
+        # k = 23: the floor is 2^15 rows (512 KB) — always worth it
+        assert quotcuckoo.eligible(10, 23)
+        assert quotcuckoo.eligible(10_000_000, 23)
+        # k = 29 (W = 58, floor 2^27 rows = 1 GB): only at large n
+        assert not quotcuckoo.eligible(10_000, 29)
+        assert quotcuckoo.eligible(200_000_000, 29)
