@@ -63,8 +63,10 @@ int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
 
   // Cache-tight adjacency: ONE uint64 per node packing (degree << 32 |
   // xor-of-edge-ids) — a node touch is one 8-byte random access instead
-  // of two, and edge node ids are recomputed from the key hash (3 mix64,
-  // ~register work) instead of stored (24 B/edge of cache traffic).
+  // of two. Every phase is blocked with software prefetch: the walk is
+  // memory-latency bound (random touches over a multi-MB adjacency), and
+  // staging ~32 independent misses per block instead of 3 dependent ones
+  // measured 3x on the peel and 6x on the assignment (r5).
   std::vector<uint64_t> adj(n_nodes, 0);
   auto nodes_of = [&](int64_t e, uint32_t nv[3]) {
     uint64_t h = mix64(keys[e] ^ seed);
@@ -73,50 +75,88 @@ int32_t mphf_try_build(const uint64_t* keys, int64_t n, uint64_t seed,
     nv[2] = (uint32_t)(mix64(h + C2) % domain + 2 * domain);
   };
   const uint64_t ONE_DEG = 1ULL << 32;
-  for (int64_t e = 0; e < n; ++e) {
-    uint32_t nv[3];
-    nodes_of(e, nv);
-    adj[nv[0]] += ONE_DEG; adj[nv[0]] ^= (uint64_t)e;
-    adj[nv[1]] += ONE_DEG; adj[nv[1]] ^= (uint64_t)e;
-    adj[nv[2]] += ONE_DEG; adj[nv[2]] ^= (uint64_t)e;
+  enum { BL = 32 };
+  {
+    uint32_t bnod[BL][3];
+    for (int64_t e0 = 0; e0 < n; e0 += BL) {
+      int cnt = (int)((n - e0 < BL) ? n - e0 : BL);
+      for (int i = 0; i < cnt; ++i) {
+        nodes_of(e0 + i, bnod[i]);
+        __builtin_prefetch(&adj[bnod[i][0]], 1, 1);
+        __builtin_prefetch(&adj[bnod[i][1]], 1, 1);
+        __builtin_prefetch(&adj[bnod[i][2]], 1, 1);
+      }
+      for (int i = 0; i < cnt; ++i) {
+        uint64_t e = (uint64_t)(e0 + i);
+        adj[bnod[i][0]] += ONE_DEG; adj[bnod[i][0]] ^= e;
+        adj[bnod[i][1]] += ONE_DEG; adj[bnod[i][1]] ^= e;
+        adj[bnod[i][2]] += ONE_DEG; adj[bnod[i][2]] ^= e;
+      }
+    }
   }
 
-  // Peel: stack of degree-1 nodes; record (edge, free_node) order.
+  // Frontier-batched peel: drain the degree-1 stack in blocks; stage 1
+  // resolves each entry's edge + node triple and prefetches the adjacency
+  // lines, stage 2 re-validates under the current state (an earlier entry
+  // in the same block may have consumed the edge) and applies updates.
+  // The peel-time node triples are kept for the assignment pass — a
+  // sequential re-read beats recomputing 3 hashes per edge there.
   std::vector<uint32_t> stack;
   stack.reserve(n_nodes / 2);
   for (uint64_t v = 0; v < n_nodes; ++v)
     if ((adj[v] >> 32) == 1) stack.push_back((uint32_t)v);
 
-  std::vector<uint32_t> peel_edge(n), peel_node(n);
+  std::vector<uint32_t> peel_node(n);
+  std::vector<uint32_t> peel_nodes3(3 * (size_t)n);
   int64_t n_peeled = 0;
+  uint32_t be[BL], bv[BL], bnod[BL][3];
   while (!stack.empty()) {
-    uint32_t v = stack.back();
-    stack.pop_back();
-    if ((adj[v] >> 32) != 1) continue;  // stale entry
-    uint32_t e = (uint32_t)adj[v];
-    peel_edge[n_peeled] = e;
-    peel_node[n_peeled] = v;
-    owner_out[e] = (int64_t)v;  // the free node is the edge's owner
-    ++n_peeled;
-    uint32_t nv[3];
-    nodes_of(e, nv);
-    for (int j = 0; j < 3; ++j) {
-      uint64_t a = adj[nv[j]] - ONE_DEG;
-      a ^= (uint64_t)e;
-      adj[nv[j]] = a;
-      if ((a >> 32) == 1) stack.push_back(nv[j]);
+    int cnt = 0;
+    while (cnt < BL && !stack.empty()) {
+      uint32_t v = stack.back();
+      stack.pop_back();
+      if ((adj[v] >> 32) != 1) continue;  // stale entry
+      uint32_t e = (uint32_t)adj[v];
+      be[cnt] = e; bv[cnt] = v;
+      nodes_of(e, bnod[cnt]);
+      __builtin_prefetch(&adj[bnod[cnt][0]], 1, 1);
+      __builtin_prefetch(&adj[bnod[cnt][1]], 1, 1);
+      __builtin_prefetch(&adj[bnod[cnt][2]], 1, 1);
+      ++cnt;
+    }
+    for (int i = 0; i < cnt; ++i) {
+      uint32_t v = bv[i];
+      if ((adj[v] >> 32) != 1 || (uint32_t)adj[v] != be[i])
+        continue;  // consumed by an earlier entry of this block
+      uint32_t e = be[i];
+      peel_node[n_peeled] = v;
+      peel_nodes3[3 * n_peeled] = bnod[i][0];
+      peel_nodes3[3 * n_peeled + 1] = bnod[i][1];
+      peel_nodes3[3 * n_peeled + 2] = bnod[i][2];
+      owner_out[e] = (int64_t)v;  // the free node is the edge's owner
+      ++n_peeled;
+      for (int j = 0; j < 3; ++j) {
+        uint64_t a = adj[bnod[i][j]] - ONE_DEG;
+        a ^= (uint64_t)e;
+        adj[bnod[i][j]] = a;
+        if ((a >> 32) == 1) stack.push_back(bnod[i][j]);
+      }
     }
   }
   if (n_peeled != n) return 0;
 
-  // Reverse-order assignment: for each peeled edge, set the free node's
-  // g so that (g[v0]+g[v1]+g[v2]) % 3 == index-of-free-node-in-edge.
+  // Reverse-order assignment from the stored triples (sequential read +
+  // prefetched g touches): for each peeled edge, set the free node's g so
+  // that (g[v0]+g[v1]+g[v2]) % 3 == index-of-free-node-in-edge.
   memset(g_out, 3, (size_t)n_nodes);
   for (int64_t i = n - 1; i >= 0; --i) {
-    uint32_t e = peel_edge[i];
+    if (i >= 8) {
+      __builtin_prefetch(&g_out[peel_nodes3[3 * (i - 8)]], 1, 1);
+      __builtin_prefetch(&g_out[peel_nodes3[3 * (i - 8) + 1]], 1, 1);
+      __builtin_prefetch(&g_out[peel_nodes3[3 * (i - 8) + 2]], 1, 1);
+    }
     uint32_t v = peel_node[i];
-    uint32_t nv[3];
-    nodes_of(e, nv);
+    const uint32_t* nv = &peel_nodes3[3 * i];
     int64_t sum = 0;
     int32_t j = 0;
     for (int t = 0; t < 3; ++t) {
